@@ -1,0 +1,57 @@
+"""procgen2_tpu: TPU-native procedurally-generated RL environment suite.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+Farama-Foundation/Procgen2 (reference mounted read-only at /root/reference):
+the 7 games (coinrun, maze, chaser, jumper, climber, caveflyer, bossfight),
+their seeded level generators, physics, rewards, terminations, 64x64 RGB
+observations and the Gymnasium-style API surface — redesigned as pure,
+batched, jit-compiled state transitions over device-resident level banks,
+sharded across TPU meshes.
+
+Quick start:
+    import jax, procgen2_tpu as pg
+    env = pg.make("maze")
+    bank = env.generate_bank(jax.random.key(0), num_levels=1024)
+    state, ts = env.reset(bank, jax.random.key(1), num_envs=4096)
+    step = jax.jit(env.step)
+    state, ts = step(bank, state, actions)   # ts.obs: uint8[4096, 64, 64, 3]
+"""
+from __future__ import annotations
+
+import importlib
+
+from .core.env import Environment, EnvState, TimeStep
+
+__version__ = "0.1.0"
+
+GAMES = (
+    "maze",
+    "coinrun",
+    "chaser",
+    "jumper",
+    "climber",
+    "caveflyer",
+    "bossfight",
+)
+
+
+def _game_module(name: str):
+    if name not in GAMES:
+        raise ValueError(f"unknown game {name!r}; available: {GAMES}")
+    return importlib.import_module(f".games.{name}", __name__)
+
+
+def make(game: str, **config) -> Environment:
+    """Create an Environment for `game`, forwarding config kwargs.
+
+    The counterpart of loading a per-game shared library through the CEnv
+    ABI (`cenv/cenv.py:152-209`) — except config here maps to each game's
+    frozen Config dataclass (runtime-selectable difficulty modes that the
+    reference left compile-time only, SURVEY.md §5 "Config / flag system").
+    """
+    mod = _game_module(game)
+    cfg = mod.Config(**config)
+    return Environment(mod, cfg)
+
+
+__all__ = ["make", "Environment", "EnvState", "TimeStep", "GAMES", "__version__"]

@@ -1,0 +1,169 @@
+"""Core environment API: pure-functional, batched, auto-resetting.
+
+Replaces the reference's CEnv C ABI + per-process Gymnasium wrapper
+(`cenv/cenv.h:121-133`, `cenv/cenv.py:152-380`) with a TPU-native design:
+
+* Env state is an explicit pytree (checkpointing is therefore free — the
+  reference keeps state in C++ globals and cannot export it, SURVEY.md §5).
+* Levels are pre-generated in a device-resident **level bank** (a stacked
+  pytree built with `vmap(generate)`), so auto-reset is a cheap gather rather
+  than re-running the procedural generator in the per-step hot path. The bank
+  also gives `num_levels` / level-set restriction semantics that the original
+  procgen exposed and Procgen2 dropped (SURVEY.md §5 "Config / flag system").
+* `step` is unbatched and pure; the wrapper vmaps it over the env batch and
+  merges done lanes with a pytree select (auto-reset). Everything jits.
+
+A game module provides:
+    Config      frozen dataclass (hashable; used as a static jit argument)
+    Level       flax.struct pytree of per-episode static data
+    State       flax.struct pytree of dynamic state (holds its Level copy)
+    generate(cfg, key) -> Level
+    reset(cfg, level, key) -> State
+    step(cfg, state, action) -> (State, reward f32, terminated bool, info dict)
+    observe(cfg, state) -> uint8[64, 64, 3]
+    obs_space(cfg), action_space(cfg)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils import tree_select
+
+OBS_KEY = "screen"  # matches the reference obs dict key, games/maze/maze.cpp:117
+
+
+@struct.dataclass
+class EnvState:
+    """Wrapper state: per-env game state plus episode accumulators."""
+
+    game: Any
+    ep_return: jnp.ndarray  # f32, running return of current episode
+    ep_length: jnp.ndarray  # i32
+    rng: jax.Array  # PRNG key driving auto-reset level choice
+
+
+@struct.dataclass
+class TimeStep:
+    obs: jnp.ndarray  # uint8 [..., 64, 64, 3]
+    reward: jnp.ndarray  # f32
+    terminated: jnp.ndarray  # bool — env reached a terminal state
+    truncated: jnp.ndarray  # bool — reserved; reference games signal timeout
+    #                          as `terminated` (games/maze/maze.cpp:308-310)
+    info: dict
+
+
+class Environment:
+    """Batched auto-resetting environment over a device-resident level bank.
+
+    Usage:
+        env = make("maze")
+        bank = env.generate_bank(jax.random.key(0), num_levels=2048)
+        state, ts = env.reset(bank, jax.random.key(1), num_envs=4096)
+        state, ts = jax.jit(env.step)(bank, state, actions)
+    """
+
+    def __init__(self, game, cfg):
+        self.game = game
+        self.cfg = cfg
+        # Jit entry points once per Environment instance; `num_envs` /
+        # `num_levels` are static (they set array shapes).
+        self.reset = jax.jit(self._reset, static_argnames="num_envs")
+        self.step = jax.jit(self._step)
+        self.generate_bank = jax.jit(
+            self._generate_bank, static_argnames="num_levels"
+        )
+
+    # ------------------------------------------------------------------
+    # Level bank
+    # ------------------------------------------------------------------
+    def _generate_bank(self, key, num_levels: int):
+        """Batched on-device level generation (one `vmap(generate)` call)."""
+        keys = jax.random.split(key, num_levels)
+        gen = functools.partial(self.game.generate, self.cfg)
+        return jax.vmap(gen)(keys)
+
+    # ------------------------------------------------------------------
+    # Reset / step (pure; safe to jit with self captured — cfg is static)
+    # ------------------------------------------------------------------
+    def _reset_one(self, bank, key):
+        num_levels = jax.tree.leaves(bank)[0].shape[0]
+        k_lvl, k_reset, k_state = jax.random.split(key, 3)
+        idx = jax.random.randint(k_lvl, (), 0, num_levels)
+        level = jax.tree.map(lambda x: x[idx], bank)
+        gs = self.game.reset(self.cfg, level, k_reset)
+        return EnvState(
+            game=gs,
+            ep_return=jnp.float32(0.0),
+            ep_length=jnp.int32(0),
+            rng=k_state,
+        )
+
+    def _reset(self, bank, key, num_envs: int):
+        keys = jax.random.split(key, num_envs)
+        state = jax.vmap(self._reset_one, in_axes=(None, 0))(bank, keys)
+        obs = jax.vmap(self.game.observe, in_axes=(None, 0))(self.cfg, state.game)
+        ts = TimeStep(
+            obs=obs,
+            reward=jnp.zeros(num_envs, jnp.float32),
+            terminated=jnp.zeros(num_envs, bool),
+            truncated=jnp.zeros(num_envs, bool),
+            info={},
+        )
+        return state, ts
+
+    def _step_one(self, bank, state: EnvState, action):
+        gs, reward, terminated, info = self.game.step(self.cfg, state.game, action)
+        ep_return = state.ep_return + reward
+        ep_length = state.ep_length + 1
+
+        # Auto-reset: pull a fresh level from the bank for done lanes. The
+        # gather + reset is cheap (no generator in the hot path); the merge is
+        # a per-leaf select, mirroring SURVEY.md §7's auto-reset design.
+        rng, k_lvl, k_reset = jax.random.split(state.rng, 3)
+        num_levels = jax.tree.leaves(bank)[0].shape[0]
+        idx = jax.random.randint(k_lvl, (), 0, num_levels)
+        level = jax.tree.map(lambda x: x[idx], bank)
+        fresh = self.game.reset(self.cfg, level, k_reset)
+        gs = tree_select(terminated, fresh, gs)
+
+        obs = self.game.observe(self.cfg, gs)
+        info = dict(info)
+        info.update(
+            returned_episode_return=ep_return,
+            returned_episode_length=ep_length,
+            done=terminated,
+        )
+        new_state = EnvState(
+            game=gs,
+            ep_return=jnp.where(terminated, 0.0, ep_return),
+            ep_length=jnp.where(terminated, 0, ep_length),
+            rng=rng,
+        )
+        ts = TimeStep(
+            obs=obs,
+            reward=reward,
+            terminated=terminated,
+            truncated=jnp.zeros_like(terminated),
+            info=info,
+        )
+        return new_state, ts
+
+    def _step(self, bank, state: EnvState, action):
+        """Batched step. `action` is int32[num_envs] (or [num_envs, 1])."""
+        if action.ndim > 1:
+            action = action.squeeze(-1)
+        return jax.vmap(self._step_one, in_axes=(None, 0, 0))(bank, state, action)
+
+    # ------------------------------------------------------------------
+    # Spaces (mirrors cenv.py:211-245's dict-of-spaces surface)
+    # ------------------------------------------------------------------
+    def observation_space(self):
+        return {OBS_KEY: self.game.obs_space(self.cfg)}
+
+    def action_space(self):
+        return {"action": self.game.action_space(self.cfg)}

@@ -1,0 +1,246 @@
+"""Maze: Kruskal-carved grid world, discrete cell-snapped movement.
+
+TPU-native re-implementation of the reference maze engine
+(`/root/reference/games/maze/`): level generation (tilemap.cpp:31-109),
+movement + goal check (common_systems.cpp:69-136), timeout termination
+(maze.cpp:45-50,295-310) and rendering order (maze.cpp:386-414). Behavior
+parity notes are cited inline.
+
+Mode table (tilemap.cpp:35-47): easy 15x15 view 15; hard 25x25 view 25
+(the reference's default config, tilemap.h:41); memory 31x31 view 8 with an
+agent-centered camera.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import spaces
+from ..gen.kruskal import kruskal_maze, masked_uniform_cell
+from ..render import atlas as atlas_lib
+from ..render import compositor as C
+
+NAME = "maze"
+NUM_ACTIONS = 15  # maze.cpp:28
+TIMEOUT = 500  # maze.cpp:49
+
+_MODES = {  # world_dim, visibility, agent_centered — tilemap.cpp:35-47
+    "easy": (15, 15, False),
+    "hard": (25, 25, False),
+    "memory": (31, 8, True),
+}
+
+EMPTY, WALL = 0, 1  # tilemap.h Tile_ID: empty=0, wall=1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    mode: str = "hard"  # reference default, games/maze/tilemap.h:41
+    timeout: int = TIMEOUT
+
+    @property
+    def world_dim(self):
+        return _MODES[self.mode][0]
+
+    @property
+    def visibility(self):
+        return _MODES[self.mode][1]
+
+    @property
+    def agent_centered(self):
+        return _MODES[self.mode][2]
+
+
+@struct.dataclass
+class Level:
+    grid: jnp.ndarray  # int8 [world_dim, world_dim], render coords [y, x]
+    goal_pos: jnp.ndarray  # f32 [2], cell center, render units
+    agent_pos: jnp.ndarray  # f32 [2]
+    maze_dim: jnp.ndarray  # i32
+    bg_index: jnp.ndarray  # i32
+    bg_offset: jnp.ndarray  # f32
+
+
+@struct.dataclass
+class State:
+    level: Level
+    pos: jnp.ndarray  # f32 [2]
+    face_forward: jnp.ndarray  # bool — flips agent sprite,
+    #                            common_systems.cpp:129-132
+    t: jnp.ndarray  # i32 step counter (maze.cpp:50)
+    rng: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Assets
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _assets():
+    atlas, idx = atlas_lib.build_atlas(("maze_wall", "cheese", "mouse"))
+    bgs = atlas_lib.build_backgrounds("topdown", 9)  # maze.cpp:62-72
+    lut = [-1, idx["maze_wall"]]  # empty -> transparent, wall -> sand tile
+    # Planar (channel-leading) layouts for TPU-friendly gathers.
+    return atlas.transpose(3, 0, 1, 2), idx, bgs.transpose(3, 0, 1, 2), lut
+
+
+# ---------------------------------------------------------------------------
+# Generation (tilemap.cpp:31-109)
+# ---------------------------------------------------------------------------
+
+def generate(cfg: Config, key) -> Level:
+    wd = cfg.world_dim
+    k_dim, k_maze, k_goal, k_bg, k_bgoff = jax.random.split(key, 5)
+
+    # maze_dim = random odd in [3, world_dim] (tilemap.cpp:62-63)
+    n = jax.random.randint(k_dim, (), 0, (wd - 1) // 2)  # [0, (wd-1)/2 - 1]
+    maze_dim = n * 2 + 3
+    margin = (wd - maze_dim) // 2
+
+    wall = kruskal_maze(k_maze, maze_dim, max_dim=wd)  # bool [wd, wd], [i, j]
+
+    # Goal: uniform over free cells excluding the agent start (0, 0)
+    # (maze_generator.cpp:183-195 place_object with START_CELL exclusion).
+    free = ~wall
+    free = free.at[0, 0].set(False)
+    gi, gj = masked_uniform_cell(k_goal, free)
+
+    # Embed maze into the all-wall world, converting maze coords (i, j) to
+    # render coords: x = i + margin, row = wd-1 - (j + margin)
+    # (tilemap.cpp:78-87 with the storage flip folded in; see compositor.py).
+    xs = jnp.arange(wd)
+    i = xs[None, :] - margin  # per column
+    j = (wd - 1 - xs)[:, None] - margin  # per row
+    in_maze = (i >= 0) & (i < maze_dim) & (j >= 0) & (j < maze_dim)
+    val = wall[jnp.clip(i, 0, wd - 1), jnp.clip(j, 0, wd - 1)]
+    grid = jnp.where(in_maze & ~val, EMPTY, WALL).astype(jnp.int8)
+
+    goal_pos = jnp.stack(
+        [gi + margin + 0.5, wd - 1 - (gj + margin) + 0.5]
+    ).astype(jnp.float32)  # tilemap.cpp:92
+    agent_pos = jnp.stack(
+        [margin + 0.5, wd - 1 - margin + 0.5]
+    ).astype(jnp.float32)  # tilemap.cpp:99-101
+
+    return Level(
+        grid=grid,
+        goal_pos=goal_pos,
+        agent_pos=agent_pos,
+        maze_dim=maze_dim,
+        bg_index=jax.random.randint(k_bg, (), 0, 9),  # maze.cpp:424-426
+        bg_offset=jax.random.uniform(k_bgoff),  # maze.cpp:428-430
+    )
+
+
+def reset(cfg: Config, level: Level, key) -> State:
+    return State(
+        level=level,
+        pos=level.agent_pos,
+        face_forward=jnp.bool_(False),
+        t=jnp.int32(0),
+        rng=key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step (maze.cpp:279-310 + common_systems.cpp:69-136)
+# ---------------------------------------------------------------------------
+
+def step(cfg: Config, state: State, action):
+    level = state.level
+    wd = cfg.world_dim
+    grid = level.grid
+    px, py = state.pos[0], state.pos[1]
+
+    # 15-action grid movement (common_systems.cpp:88-89). Note the reference
+    # computes movement_x = action/3 - 1 without range-clamping, so actions
+    # 9-14 probe 2-3 cells over; reproduced faithfully.
+    a = action.astype(jnp.int32)
+    mx = a // 3 - 1
+    my = jnp.where(mx != 0, 0, -(a % 3 - 1))  # render-y: negative = up-screen
+
+    def tile(tx, ty):
+        inb = (tx >= 0) & (tx < wd) & (ty >= 0) & (ty < wd)
+        return jnp.where(
+            inb, grid[jnp.clip(ty, 0, wd - 1), jnp.clip(tx, 0, wd - 1)], WALL
+        )
+
+    # C-style truncation toward zero (int casts, common_systems.cpp:92-99)
+    tx = (px + mx).astype(jnp.int32)
+    ty = (py + my).astype(jnp.int32)
+    can_x = (mx != 0) & (tile(tx, py.astype(jnp.int32)) == EMPTY)
+    can_y = (mx == 0) & (my != 0) & (tile(px.astype(jnp.int32), ty) == EMPTY)
+    px = jnp.where(can_x, tx.astype(jnp.float32) + 0.5, px)
+    py = jnp.where(can_y, ty.astype(jnp.float32) + 0.5, py)
+    pos = jnp.stack([px, py])
+
+    face_forward = jnp.where(
+        mx > 0, True, jnp.where(mx < 0, False, state.face_forward)
+    )  # common_systems.cpp:129-132
+
+    # Goal AABB overlap, both 1x1 boxes centered on cell centers
+    # (common_systems.cpp:103-117, helpers check_collision).
+    reached = jnp.all(jnp.abs(pos - level.goal_pos) < 1.0)
+
+    reward = reached.astype(jnp.float32) * 10.0  # maze.cpp:300
+    t = state.t + 1
+    # Timeout flagged as `terminated`, not truncated — reference quirk,
+    # maze.cpp:308-310.
+    terminated = reached | (t >= cfg.timeout)
+
+    new_state = State(
+        level=level, pos=pos, face_forward=face_forward, t=t, rng=state.rng
+    )
+    return new_state, reward, terminated, {}
+
+
+# ---------------------------------------------------------------------------
+# Rendering (maze.cpp:386-414)
+# ---------------------------------------------------------------------------
+
+def observe(cfg: Config, state: State):
+    atlas, idx, bgs, lut = _assets()
+    wd = cfg.world_dim
+    ppu = C.OBS / cfg.visibility  # maze.cpp:397: zoom fits visible width
+    center = jnp.float32(wd / 2.0)
+    if cfg.agent_centered:
+        # Camera follows agent once stepping begins (common_systems.cpp:120-123)
+        # but the very first frame after reset() uses the map center
+        # (maze.cpp:436-437).
+        cam_x = jnp.where(state.t > 0, state.pos[0], center)
+        cam_y = jnp.where(state.t > 0, state.pos[1], center)
+    else:
+        cam_x = cam_y = center
+    wx, wy = C.camera_coords(ppu, cam_x, cam_y)
+
+    img = C.clear()
+    # Background spans 64 world units from origin (maze.cpp:403-408); our
+    # procedural backgrounds are square so the aspect offset term vanishes.
+    img = C.draw_background(img, jnp.asarray(bgs)[:, state.level.bg_index], wx, wy)
+    img = C.draw_tiles(img, state.level.grid, jnp.asarray(lut), atlas, wx, wy,
+                       oob_tile=WALL)
+    # Cheese: offset (-0.48, -0.5), scale 0.95, z=+1 (tilemap.cpp:95)
+    img = C.draw_sprite(
+        img, atlas, idx["cheese"],
+        state.level.goal_pos[0] - 0.48, state.level.goal_pos[1] - 0.5,
+        0.95, 0.95, wx, wy,
+    )
+    # Agent: 1x1 at pos, flip when facing forward (common_systems.cpp:138-149)
+    img = C.draw_sprite(
+        img, atlas, idx["mouse"],
+        state.pos[0] - 0.5, state.pos[1] - 0.5, 1.0, 1.0, wx, wy,
+        flip_x=state.face_forward,
+    )
+    return C.finalize(img)
+
+
+def obs_space(cfg: Config):
+    return spaces.Box(0, 255, (C.OBS, C.OBS, 3))  # maze.cpp:117-125
+
+
+def action_space(cfg: Config):
+    return spaces.MultiDiscrete((NUM_ACTIONS,))  # maze.cpp:127-135

@@ -1,0 +1,136 @@
+"""Randomized-Kruskal maze carving as a jit-compiled, PRNG-keyed function.
+
+TPU-first re-design of the reference's Maze_Generator
+(`games/maze/maze_generator.cpp:55-139`): the C++ picks a uniformly random
+remaining wall each iteration and erases it from a vector — equivalent to
+visiting the wall list in a uniformly random permutation — and merges room
+sets with a path-compressed, union-by-rank union-find
+(`maze_generator.cpp:47-53,110-135`). Here the wall list is a *static* array
+for the maximum maze size, visited in `jax.random.permutation` order inside a
+`lax.fori_loop`, with smaller (traced) maze sizes handled by a validity mask.
+Union-find lives in flat int32 arrays with a path-halving `lax.while_loop`
+find. The whole generator vmaps over a batch of PRNG keys so an entire level
+bank is carved on-device in one compiled call (SURVEY.md §7.2).
+
+Grid convention: cells are maze coordinates (i, j) in [0, max_dim)^2, rooms at
+even-even cells, walls between them; returned as `wall: bool[max_dim, max_dim]`
+indexed [i, j]. Cells outside the (traced) `dim` x `dim` region stay walls.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _wall_list(max_dim: int):
+    """Static wall list for a max_dim x max_dim maze.
+
+    Mirrors maze_generator.cpp:89-101: vertical walls at (odd i, even j)
+    joining (i-1, j)-(i+1, j); horizontal walls at (even i, odd j) joining
+    (i, j-1)-(i, j+1).
+    """
+    e1, e2, ce = [], [], []
+    for i in range(1, max_dim - 1, 2):
+        for j in range(0, max_dim, 2):
+            e1.append((i - 1, j))
+            e2.append((i + 1, j))
+            ce.append((i, j))
+    for i in range(0, max_dim, 2):
+        for j in range(1, max_dim - 1, 2):
+            e1.append((i, j - 1))
+            e2.append((i, j + 1))
+            ce.append((i, j))
+    return (
+        np.asarray(e1, np.int32),
+        np.asarray(e2, np.int32),
+        np.asarray(ce, np.int32),
+    )
+
+
+FIND_DEPTH = 16  # > log2(45^2): union-by-rank bounds tree height by the
+#                  rank, so a fixed-depth chase always reaches the root —
+#                  compiles far better than a data-dependent while_loop.
+
+
+def _find(parent, c):
+    """Rank-bounded find. The reference uses path-halving
+    (maze_generator.cpp:47-53); with union-by-rank the uncompressed height is
+    <= log2(n), so a fixed unrollable chase is equivalent and avoids carrying
+    the parent array through a while_loop."""
+
+    def body(_, c):
+        return parent[c]
+
+    return jax.lax.fori_loop(0, FIND_DEPTH, body, c)
+
+
+def kruskal_maze(key, dim, max_dim: int):
+    """Carve a maze. `dim` may be traced (odd, 3 <= dim <= max_dim).
+
+    Returns wall: bool[max_dim, max_dim] indexed [i, j] (maze coords).
+    """
+    e1, e2, ce = _wall_list(max_dim)
+    e1 = jnp.asarray(e1)
+    e2 = jnp.asarray(e2)
+    ce = jnp.asarray(ce)
+    n_walls = e1.shape[0]
+    D = max_dim
+
+    def cell(p):
+        return p[..., 1] + D * p[..., 0]  # j + D*i, maze_generator.h:43-45
+
+    c1, c2, c0 = cell(e1), cell(e2), cell(ce)
+    # Wall participates only if fully inside the dim x dim region.
+    valid = (
+        (jnp.maximum(e1[:, 0], jnp.maximum(e2[:, 0], ce[:, 0])) < dim)
+        & (jnp.maximum(e1[:, 1], jnp.maximum(e2[:, 1], ce[:, 1])) < dim)
+    )
+
+    order = jax.random.permutation(key, n_walls)
+
+    wall = jnp.ones(D * D, bool).at[0].set(False)  # corner room opened,
+    #                                           maze_generator.cpp:71
+    parent = jnp.arange(D * D, dtype=jnp.int32)
+    rank = jnp.zeros(D * D, jnp.int32)
+
+    def body(k, carry):
+        wall_g, parent, rank = carry
+        w = order[k]
+        a, b, m = c1[w], c2[w], c0[w]
+        ra = _find(parent, a)
+        rb = _find(parent, b)
+        can = valid[w] & wall_g[m] & (ra != rb)
+        # Carve endpoints + center (maze_generator.cpp:119-123)
+        wall_g = wall_g.at[a].set(wall_g[a] & ~can)
+        wall_g = wall_g.at[b].set(wall_g[b] & ~can)
+        wall_g = wall_g.at[m].set(wall_g[m] & ~can)
+        # Union by rank; the wall-center cell joins the root too
+        # (maze_generator.cpp:125-134)
+        a_bigger = rank[ra] > rank[rb]
+        root = jnp.where(a_bigger, ra, rb)
+        child = jnp.where(a_bigger, rb, ra)
+        parent = parent.at[child].set(jnp.where(can, root, parent[child]))
+        parent = parent.at[m].set(jnp.where(can, root, parent[m]))
+        bump = can & ~a_bigger & (rank[ra] == rank[rb])
+        rank = rank.at[root].add(bump.astype(jnp.int32))
+        return wall_g, parent, rank
+
+    wall, parent, rank = jax.lax.fori_loop(0, n_walls, body, (wall, parent, rank))
+    return wall.reshape(D, D)
+
+
+def masked_uniform_cell(key, mask):
+    """Uniformly choose one True cell of a 2D boolean mask; returns (i, j).
+
+    Distributionally equivalent to the reference's rejection-sampled
+    `place_object` (maze_generator.cpp:183-195): uniform over free cells,
+    excluding whatever the caller has already masked out.
+    """
+    H, W = mask.shape
+    logits = jnp.where(mask.reshape(-1), 0.0, -jnp.inf)
+    flat = jax.random.categorical(key, logits)
+    return flat // W, flat % W
