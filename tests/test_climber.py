@@ -1,0 +1,100 @@
+"""Climber behavior tests (vs reference games/climber/)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import procgen2_tpu as pg
+from procgen2_tpu.games import climber
+
+NOOP, LEFT, RIGHT, JUMP = 4, 1, 7, 5
+
+
+@pytest.fixture(scope="module")
+def env():
+    return pg.make("climber")
+
+
+@pytest.fixture(scope="module")
+def bank(env):
+    return env.generate_bank(jax.random.key(0), num_levels=32)
+
+
+def test_level_structure(bank):
+    grids = np.asarray(bank.grid)
+    # Border walls + floor top row (tilemap.cpp:90-93)
+    assert (grids[:, :, 0] != climber.EMPTY).all()
+    assert (grids[:, :, -1] != climber.EMPTY).all()
+    assert (grids[:, -1, :] == climber.WALL_TOP).all()  # floor row is wall_top
+    assert (grids[:, 0, :] != climber.EMPTY).all()
+    # Every level has at least one crystal (last platform always spawns one,
+    # tilemap.cpp:163-165)
+    assert np.asarray(bank.point_exists).any(axis=1).all()
+    # Difficulty within 1..3; platform counts bounded by (d+1)^2+1
+    d = np.asarray(bank.difficulty)
+    assert ((d >= 1) & (d <= 3)).all()
+    npts = np.asarray(bank.point_exists).sum(axis=1)
+    assert (npts <= (d + 1) ** 2 + 1).all()
+
+
+def test_platforms_reachable_dy(bank):
+    # Consecutive platform rows differ by 3..4 in y (init_y_dist(3, max_dy-1))
+    for g in np.asarray(bank.grid)[:8]:
+        yup = g[::-1].T  # [x, y_up]
+        rows = sorted({int(y) for x in range(1, 19) for y in range(2, 63)
+                       if yup[x, y] == climber.WALL_TOP})
+        prev = 1  # generation starts from curr_y=1 (tilemap.cpp:115)
+        for r in rows:
+            assert r - prev <= 4, f"gap {prev}->{r} unjumpable"
+            prev = r
+
+
+def test_gravity_and_landing(env, bank):
+    state, _ = env.reset(bank, jax.random.key(1), num_envs=8)
+    actions = jnp.full((8,), NOOP, jnp.int32)
+    for _ in range(10):
+        state, ts = env.step(bank, state, actions)
+    # Agent settles on the floor: feet at y = MAP_H - 2 + 1 = 63
+    assert np.allclose(np.asarray(state.game.pos[:, 1]), 63.0, atol=1e-4)
+    assert np.asarray(state.game.on_ground).all()
+
+
+def test_crystal_collection_rewards(env, bank):
+    # Random rollout: any positive reward must be n*1 + optional 10
+    state, _ = env.reset(bank, jax.random.key(2), num_envs=64)
+    key = jax.random.key(3)
+    rewards = []
+    for _ in range(80):
+        key, k = jax.random.split(key)
+        a = jax.random.randint(k, (64,), 0, 15)
+        state, ts = env.step(bank, state, a)
+        rewards.append(np.asarray(ts.reward))
+    r = np.concatenate(rewards)
+    assert ((r >= 0) & (r <= 10 + climber.MAX_POINTS)).all()
+    # integral rewards only (crystals are +1, completion +10)
+    assert np.allclose(r, np.round(r))
+
+
+def test_mob_patrol_bounds(env, bank):
+    # Mobs never drift beyond spawn_x +- (patrol_range + step) and flip vx
+    state, _ = env.reset(bank, jax.random.key(4), num_envs=16)
+    actions = jnp.full((16,), NOOP, jnp.int32)
+    for _ in range(120):
+        state, ts = env.step(bank, state, actions)
+        gs = state.game
+        alive = np.asarray(gs.level.mob_alive)
+        x = np.asarray(gs.mob_pos[:, :, 0])
+        sx = np.asarray(gs.level.mob_spawn_x)
+        lo = (x >= sx - climber.PATROL_RANGE - 0.5) | ~alive
+        hi = (x <= sx + climber.PATROL_RANGE + 0.5) | ~alive
+        # auto-reset may swap levels mid-rollout; skip lanes that just reset
+        fresh = np.asarray(ts.terminated)
+        assert (lo | fresh[:, None]).all() and (hi | fresh[:, None]).all()
+
+
+def test_observation_renders(env, bank):
+    state, ts = env.reset(bank, jax.random.key(5), num_envs=4)
+    obs = np.asarray(ts.obs)
+    assert obs.shape == (4, 64, 64, 3) and obs.dtype == np.uint8
+    # Non-degenerate image: some variation per env
+    assert (obs.std(axis=(1, 2, 3)) > 1.0).all()
