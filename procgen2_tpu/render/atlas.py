@@ -387,6 +387,79 @@ def _register_swimmer():
     _REGISTRY["swimmer_move"] = lambda: swim(1.0)
 
 
+# ---------------------------------------------------------------------------
+# Chaser (games/chaser/tilemap.cpp:10-15, common_systems.cpp:108-115:
+# stone wall tile, point dot, spikey egg, 3-frame flyer, fleeing walker,
+# floating agent; orb reuses the crystal sprite)
+# ---------------------------------------------------------------------------
+
+@sprite("stone_wall")
+def _stone_wall():
+    # Stand-in for assets/misc_assets/tileStone_slope.png (chaser tilemap.cpp:10)
+    return _textured_tile("stone_wall", (0.45, 0.45, 0.5), border=(0.3, 0.3, 0.34))
+
+
+@sprite("chaser_point")
+def _chaser_point():
+    # Stand-in for assets/custom/chaser_point.png — small pellet dot
+    img = _blank()
+    img = _fill(img, _disc(0.5, 0.5, 0.12), (0.98, 0.93, 0.6))
+    return img
+
+
+@sprite("egg_spikey")
+def _egg_spikey():
+    # Stand-in for assets/misc_assets/enemySpikey_1b.png (unhatched enemy)
+    img = _blank()
+    x, y = _grid()
+    ang = np.arctan2(y - 0.55, x - 0.5)
+    spikes = (np.sin(ang * 9) * 0.5 + 0.5) * 0.08
+    ring = np.clip((0.3 + spikes - np.hypot(x - 0.5, y - 0.55)) * S / 1.5, 0, 1)
+    img = _fill(img, ring, (0.75, 0.45, 0.85))
+    img = _fill(img, _disc(0.5, 0.55, 0.22), (0.85, 0.6, 0.9))
+    return img
+
+
+def _register_flyers():
+    # Stand-ins for assets/misc_assets/enemyFlying_{1,2,3}.png +
+    # enemyWalking_1b.png (chaser common_systems.cpp:111-114)
+    def flyer(phase):
+        img = _blank()
+        img = _fill(img, _disc(0.5, 0.55, 0.26), (0.9, 0.35, 0.3))
+        wing_y = 0.42 + 0.12 * phase
+        img = _fill(img, _box(0.05, wing_y, 0.3, wing_y + 0.14, soft=2.0), (0.95, 0.6, 0.55))
+        img = _fill(img, _box(0.7, wing_y, 0.95, wing_y + 0.14, soft=2.0), (0.95, 0.6, 0.55))
+        img = _fill(img, _disc(0.42, 0.5, 0.045), (0.05, 0.05, 0.08))
+        img = _fill(img, _disc(0.58, 0.5, 0.045), (0.05, 0.05, 0.08))
+        return img
+
+    for i in range(3):
+        _REGISTRY[f"flyer{i}"] = (lambda p=i / 2.0: flyer(p))
+
+    def walker_flee():
+        img = _blank()
+        img = _fill(img, _disc(0.5, 0.6, 0.28), (0.4, 0.5, 0.95))
+        img = _fill(img, _disc(0.42, 0.52, 0.05), (1.0, 1.0, 1.0))
+        img = _fill(img, _disc(0.58, 0.52, 0.05), (1.0, 1.0, 1.0))
+        return img
+
+    _REGISTRY["walker_flee"] = walker_flee
+
+
+@sprite("floater")
+def _floater():
+    # Stand-in for assets/misc_assets/enemyFloating_1b.png (the chaser agent,
+    # common_systems.cpp:302)
+    img = _blank()
+    img = _fill(img, _disc(0.5, 0.5, 0.32), (0.95, 0.8, 0.25))
+    img = _fill(img, _disc(0.4, 0.44, 0.05), (0.05, 0.05, 0.08))
+    img = _fill(img, _disc(0.6, 0.44, 0.05), (0.05, 0.05, 0.08))
+    x, y = _grid()
+    mouth = (np.hypot(x - 0.5, y - 0.58) < 0.14) & (y > 0.6)
+    img = _fill(img, mouth.astype(np.float32), (0.4, 0.2, 0.1))
+    return img
+
+
 @sprite("coin")
 def _coin():
     img = _blank()
@@ -410,6 +483,7 @@ _register_saw()
 _register_agents()
 _register_climber_tiles()
 _register_swimmer()
+_register_flyers()
 _register_agents(themes=CLIMBER_AGENT_THEMES, prefix="climber")
 
 
