@@ -123,6 +123,69 @@ def kruskal_maze(key, dim, max_dim: int):
     return wall.reshape(D, D)
 
 
+def open_dead_ends(key, wall, dim):
+    """The no-dead-end post-pass (generate_maze_no_dead_ends,
+    `games/jumper/maze_generator.cpp:132-173`).
+
+    Scans cells in (x-major) index order; every *space* cell with exactly
+    one adjacent space and at least one adjacent wall gets a random
+    adjacent wall opened. Sequential semantics matter (openings create
+    spaces that later cells observe), so this is a `fori_loop` carrying the
+    grid. Reference quirks kept faithfully:
+
+    * neighbors are visited in the fixed order (x-1, x+1, y-1, y+1) and
+      the random start offset is taken modulo `num_adjacent_walls` but
+      *indexes the full neighbor array* (maze_generator.cpp:152-169), so
+      only the first `num_adjacent_walls` neighbors are ever candidates —
+      a left/right bias we reproduce;
+    * out-of-maze neighbors (the generator's padding ring) count as walls
+      for the modulo but fail the in-bounds check and are skipped.
+
+    `wall`: bool[D, D] maze-coordinate grid; `dim` may be traced. Cells at
+    (i, j) >= dim are padding walls.
+    """
+    D = wall.shape[0]
+
+    def val(w, i, j):
+        inb = (i >= 0) & (i < dim) & (j >= 0) & (j < dim)
+        return jnp.where(
+            inb, w[jnp.clip(i, 0, D - 1), jnp.clip(j, 0, D - 1)], True
+        )
+
+    def body(idx, carry):
+        w, key = carry
+        key, k = jax.random.split(key)
+        x = idx // D
+        y = idx % D
+        # neighbor order: (x-1,y), (x+1,y), (x,y-1), (x,y+1)
+        nbx = jnp.array([x - 1, x + 1, x, x])
+        nby = jnp.array([y, y, y - 1, y + 1])
+        nwall = jnp.stack([val(w, nbx[n], nby[n]) for n in range(4)])
+        ninb = (nbx >= 0) & (nbx < dim) & (nby >= 0) & (nby < dim)
+        n_spaces = (~nwall).sum()
+        n_walls = nwall.sum()
+
+        is_space = (x < dim) & (y < dim) & ~val(w, x, y)
+        do = is_space & (n_spaces == 1) & (n_walls > 0)
+
+        n_sel = jax.random.randint(k, (), 0, jnp.maximum(n_walls, 1))
+        # first openable neighbor scanning (n_sel + n) % n_walls, n = 0..3
+        chosen = jnp.int32(-1)
+        for n in range(4):
+            cand = (n_sel + n) % jnp.maximum(n_walls, 1)
+            ok = (chosen < 0) & ninb[cand] & nwall[cand] & (n < n_walls)
+            chosen = jnp.where(ok, cand, chosen)
+        ci = jnp.clip(chosen, 0, 3)
+        w = w.at[jnp.clip(nbx[ci], 0, D - 1), jnp.clip(nby[ci], 0, D - 1)].set(
+            jnp.where(do & (chosen >= 0), False,
+                      w[jnp.clip(nbx[ci], 0, D - 1), jnp.clip(nby[ci], 0, D - 1)])
+        )
+        return w, key
+
+    wall, _ = jax.lax.fori_loop(0, D * D, body, (wall, key))
+    return wall
+
+
 def masked_uniform_cell(key, mask):
     """Uniformly choose one True cell of a 2D boolean mask; returns (i, j).
 
