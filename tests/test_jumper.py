@@ -55,7 +55,8 @@ def test_level_structure_and_solvability(bank):
         assert (border != jumper.EMPTY).mean() > 0.7
         # goal and agent inside open cells
         gx, gy = int(goals[i, 0]), int(goals[i, 1])
-        ax, ay = int(agents[i, 0]), int(agents[i, 1] - 0.5)
+        # agent spawn y is the cell's top edge (tilemap.cpp:227, no +0.5)
+        ax, ay = int(agents[i, 0]), int(agents[i, 1])
         assert g[gy, gx] == jumper.EMPTY
         assert g[ay, ax] == jumper.EMPTY
         # goal 4-connected-reachable from agent through empty cells
