@@ -21,6 +21,7 @@ from __future__ import annotations
 import importlib
 
 from .core.env import Environment, EnvState, TimeStep
+from .core.gym_adapter import GymEnv
 
 __version__ = "0.1.0"
 
@@ -54,4 +55,7 @@ def make(game: str, **config) -> Environment:
     return Environment(mod, cfg)
 
 
-__all__ = ["make", "Environment", "EnvState", "TimeStep", "GAMES", "__version__"]
+__all__ = [
+    "make", "Environment", "EnvState", "TimeStep", "GymEnv", "GAMES",
+    "__version__",
+]

@@ -1,0 +1,104 @@
+"""Interactive pygame viewer (counterpart of interactive_viewer.py).
+
+Keyboard map mirrors the reference (interactive_viewer.py:44-70):
+a/d = left/right, w = up/jump, s = down/fallthrough, e = fire/interact,
+r = force reset, q = quit. The 64x64 observation is upscaled to the
+window (the JAX engines render observations only; there is no separate
+window-size render target to duplicate textures for —
+common_assets.h:11-13's per-renderer copies have no analogue here).
+
+Run:  python -m procgen2_tpu.tools.viewer coinrun [--mode hard]
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def compute_action(ks, pygame) -> int:
+    """The reference's key->15-action mapping (interactive_viewer.py:44-70)."""
+    if ks[pygame.K_a]:
+        action = 0
+    elif ks[pygame.K_d]:
+        action = 6
+    else:
+        action = 4
+
+    if action != 4:
+        if ks[pygame.K_w]:
+            action += 2
+        elif ks[pygame.K_s]:
+            action += 0
+        else:
+            action += 1
+    else:
+        if ks[pygame.K_w]:
+            action = 5
+        elif ks[pygame.K_s]:
+            action = 3
+        else:
+            action = 4
+
+    if ks[pygame.K_e]:
+        action = 9
+    return action
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("game")
+    parser.add_argument("--mode", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--fps", type=int, default=20)
+    args = parser.parse_args(argv)
+
+    import pygame
+
+    from ..core.gym_adapter import GymEnv
+
+    config = {} if args.mode is None else {"mode": args.mode}
+    env = GymEnv(args.game, seed=args.seed, **config)
+    obs, _ = env.reset()
+
+    pygame.init()
+    screen = pygame.display.set_mode((args.size, args.size))
+    pygame.display.set_caption(f"procgen2_tpu — {args.game}")
+    clock = pygame.time.Clock()
+
+    ks_prev = pygame.key.get_pressed()
+    running = True
+    ep_return = 0.0
+    while running:
+        for event in pygame.event.get():
+            if event.type == pygame.QUIT:
+                running = False
+        ks = pygame.key.get_pressed()
+        if ks[pygame.K_q]:
+            running = False
+        force_reset = ks[pygame.K_r] and not ks_prev[pygame.K_r]
+
+        action = compute_action(ks, pygame)
+        obs, reward, term, trunc, _ = env.step(action)
+        ep_return += reward
+        if term or force_reset:
+            if term:
+                print(f"episode return: {ep_return:+.2f}")
+            ep_return = 0.0
+            if force_reset:
+                obs, _ = env.reset()
+
+        frame = obs["screen"]
+        surf = pygame.surfarray.make_surface(np.swapaxes(frame, 0, 1))
+        surf = pygame.transform.scale(surf, (args.size, args.size))
+        screen.blit(surf, (0, 0))
+        ks_prev = ks
+        pygame.display.flip()
+        clock.tick(args.fps)
+
+    pygame.quit()
+
+
+if __name__ == "__main__":
+    main()

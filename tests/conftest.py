@@ -6,7 +6,9 @@ suite runs identically with or without TPU hardware attached.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the tunneled
+# TPU ('axon'), but the suite needs the 8-device virtual host platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -17,6 +19,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env vars)
 import pytest  # noqa: E402
+
+# A sitecustomize hook on this image registers the remote-TPU ('axon')
+# PJRT plugin and force-updates jax_platforms to "axon,cpu", overriding
+# the env var — re-pin to CPU before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 
 @pytest.fixture(scope="session")

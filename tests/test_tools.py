@@ -1,0 +1,69 @@
+"""Gymnasium adapter + tools surface tests."""
+import numpy as np
+import pytest
+
+import procgen2_tpu as pg
+
+
+def test_gym_adapter_api():
+    gym = pytest.importorskip("gymnasium")
+    env = pg.GymEnv("maze", mode="easy", num_levels=8, seed=0)
+    assert isinstance(env, gym.Env)
+    obs, info = env.reset(seed=0)
+    assert obs["screen"].shape == (64, 64, 3)
+    assert obs["screen"].dtype == np.uint8
+    assert env.observation_space["screen"].shape == (64, 64, 3)
+    assert list(env.action_space["action"].nvec) == [15]
+    total = 0.0
+    for i in range(30):
+        obs, reward, term, trunc, info = env.step(i % 15)
+        total += reward
+        assert isinstance(reward, float) and isinstance(term, bool)
+    frame = env.render()
+    assert frame.shape == (64, 64, 3)
+    env.close()
+
+
+def test_gym_adapter_dict_action_and_reset_options():
+    env = pg.GymEnv("maze", mode="easy", num_levels=8, seed=1)
+    obs1, _ = env.reset(options={"seed": 42})
+    obs2, _ = env.reset(options={"seed": 42})
+    np.testing.assert_array_equal(obs1["screen"], obs2["screen"])
+    obs, r, t, tr, _ = env.step({"action": np.array([7])})
+    assert obs["screen"].shape == (64, 64, 3)
+
+
+def test_every_game_constructs_via_gym():
+    for game in pg.GAMES:
+        env = pg.GymEnv(game, num_levels=4, seed=0)
+        obs, _ = env.reset()
+        obs, r, t, tr, _ = env.step(4)
+        assert obs["screen"].shape == (64, 64, 3), game
+        env.close()
+
+
+def test_viewer_action_mapping():
+    # the key->action map must reproduce interactive_viewer.py:44-70
+    pygame = pytest.importorskip("pygame")
+    from procgen2_tpu.tools.viewer import compute_action
+
+    class KS(dict):
+        def __getitem__(self, k):
+            return self.get(k, False)
+
+    K = pygame
+    assert compute_action(KS(), K) == 4
+    assert compute_action(KS({K.K_a: True}), K) == 1
+    assert compute_action(KS({K.K_d: True}), K) == 7
+    assert compute_action(KS({K.K_d: True, K.K_w: True}), K) == 8
+    assert compute_action(KS({K.K_a: True, K.K_s: True}), K) == 0
+    assert compute_action(KS({K.K_w: True}), K) == 5
+    assert compute_action(KS({K.K_s: True}), K) == 3
+    assert compute_action(KS({K.K_e: True}), K) == 9
+
+
+def test_bench_cli_smoke():
+    from procgen2_tpu.tools.bench_cli import bench_game
+
+    r = bench_game("maze", num_envs=8, num_levels=8, T=2, iters=2, mode="easy")
+    assert r["env_steps_per_s"] > 0
