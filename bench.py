@@ -48,18 +48,23 @@ def main():
         (state, k), (obs_buf, rew_buf) = jax.lax.scan(
             scan_step, (state, k), None, length=T
         )
-        # obs_buf: uint8 [T, N, 64, 64, 3] — a real rollout buffer.
-        return state, k, obs_buf, rew_buf
+        # obs_buf: uint8 [T, N, 64, 64, 3] — a real rollout buffer. It is
+        # a program *output*, so XLA must materialize it; the scalar
+        # checksum is what the host reads back to synchronize (on the
+        # tunneled TPU runtime, block_until_ready returns before
+        # execution finishes — only a host readback truly syncs).
+        chk = rew_buf.sum() + obs_buf[::4, :: T].sum(dtype=jnp.int32).astype(jnp.float32)
+        return state, k, obs_buf, chk
 
-    # Warmup / compile
-    state, k, obs_buf, _ = rollout(bank, state, jax.random.key(2))
-    jax.block_until_ready(obs_buf)
+    # Warmup / compile (float() forces a real host readback)
+    state, k, obs_buf, chk = rollout(bank, state, jax.random.key(2))
+    float(chk)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, k, obs_buf, rew_buf = rollout(bank, state, k)
-    jax.block_until_ready(obs_buf)
+        state, k, obs_buf, chk = rollout(bank, state, k)
+    float(chk)  # sync: devices execute in order, this drains the stream
     dt = time.perf_counter() - t0
 
     steps_per_s = NUM_ENVS * T * iters / dt

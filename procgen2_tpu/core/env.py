@@ -103,10 +103,19 @@ class Environment:
             rng=k_state,
         )
 
+    def _observe_batch(self, game_states):
+        """Batched rendering; games may provide an `observe_batch` that
+        exploits cross-env structure (shared cameras, fused compositing
+        kernels) instead of a plain vmap."""
+        fn = getattr(self.game, "observe_batch", None)
+        if fn is not None:
+            return fn(self.cfg, game_states)
+        return jax.vmap(self.game.observe, in_axes=(None, 0))(self.cfg, game_states)
+
     def _reset(self, bank, key, num_envs: int):
         keys = jax.random.split(key, num_envs)
         state = jax.vmap(self._reset_one, in_axes=(None, 0))(bank, keys)
-        obs = jax.vmap(self.game.observe, in_axes=(None, 0))(self.cfg, state.game)
+        obs = self._observe_batch(state.game)
         ts = TimeStep(
             obs=obs,
             reward=jnp.zeros(num_envs, jnp.float32),
@@ -131,7 +140,6 @@ class Environment:
         fresh = self.game.reset(self.cfg, level, k_reset)
         gs = tree_select(terminated, fresh, gs)
 
-        obs = self.game.observe(self.cfg, gs)
         info = dict(info)
         info.update(
             returned_episode_return=ep_return,
@@ -145,7 +153,7 @@ class Environment:
             rng=rng,
         )
         ts = TimeStep(
-            obs=obs,
+            obs=None,  # rendered batched in _step
             reward=reward,
             terminated=terminated,
             truncated=jnp.zeros_like(terminated),
@@ -157,7 +165,10 @@ class Environment:
         """Batched step. `action` is int32[num_envs] (or [num_envs, 1])."""
         if action.ndim > 1:
             action = action.squeeze(-1)
-        return jax.vmap(self._step_one, in_axes=(None, 0, 0))(bank, state, action)
+        new_state, ts = jax.vmap(
+            self._step_one, in_axes=(None, 0, 0)
+        )(bank, state, action)
+        return new_state, ts.replace(obs=self._observe_batch(new_state.game))
 
     # ------------------------------------------------------------------
     # Spaces (mirrors cenv.py:211-245's dict-of-spaces surface)

@@ -666,7 +666,7 @@ def observe(cfg: Config, state: State):
     img = C.clear()
     # background spans the whole screen (bossfight.cpp:416-418)
     img = C.draw_background(
-        img, jnp.asarray(A["bgs_p"])[:, level.bg_index], wx, wy,
+        img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy,
         origin_x=-HALF, origin_y=-HALF, size_units=2 * HALF,
     )
     # barriers (sprite offset -0.15, scale 0.3 — bossfight.cpp:480)

@@ -558,7 +558,7 @@ def observe(cfg: Config, state: State):
     wx, wy = C.camera_coords(PPU, state.pos[0], state.pos[1])
 
     img = C.clear()
-    img = C.draw_background(img, jnp.asarray(A["bgs_p"])[:, level.bg_index], wx, wy)
+    img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)
     img = C.draw_tiles(
         img, level.wall.astype(jnp.int8), jnp.asarray(A["lut"]),
         A["atlas_p"], wx, wy, oob_tile=0,

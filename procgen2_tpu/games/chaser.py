@@ -538,15 +538,15 @@ def observe(cfg: Config, state: State):
     wx, wy = C.camera_coords(ppu, center, center)
 
     img = C.clear()
-    img = C.draw_background(img, jnp.asarray(A["bgs_p"])[:, level.bg_index], wx, wy)
+    img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)
     img = C.draw_tiles(
         img, level.wall.astype(jnp.int8), jnp.asarray(A["lut"]),
         A["atlas_p"], wx, wy, oob_tile=0,
     )
     # Pellets: draw via the tile layer (one per free cell, 1x1 sprite rect)
-    pellet_layer = jnp.where(state.point_grid, A["idx"]["chaser_point"], -1)
+    pellet_layer = jnp.where(state.point_grid, 0, -1)
     img = C.draw_tiles(
-        img, pellet_layer, jnp.arange(len(A["idx"]), dtype=jnp.int32),
+        img, pellet_layer, jnp.asarray([A["idx"]["chaser_point"]]),
         A["atlas_p"], wx, wy, oob_tile=-1,
     )
     # Orbs

@@ -418,7 +418,7 @@ def observe(cfg: Config, state: State):
     wx, wy = C.camera_coords(PPU, cam_x, cam_y)
 
     img = C.clear()
-    img = C.draw_background(img, jnp.asarray(A["bgs_p"])[:, level.bg_index], wx, wy)
+    img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)
     lut = jnp.asarray(A["tile_lut"])[level.theme]
     img = C.draw_tiles(img, level.grid, lut, A["atlas_p"], wx, wy, oob_tile=EMPTY)
 

@@ -556,17 +556,15 @@ def observe(cfg: Config, state: State):
     wx, wy = C.camera_coords(PPU, cam_x, cam_y)
 
     img = C.clear()
-    img = C.draw_background(img, jnp.asarray(A["bgs_p"])[:, level.bg_index], wx, wy)
+    img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)
     # Tilemap (walls/lava themed per level; crates drawn from variant layer)
     lut = jnp.asarray(A["tile_lut"])[level.theme]
     img = C.draw_tiles(img, level.grid, lut, A["atlas_p"], wx, wy, oob_tile=WALL_MID)
     crate_layer = jnp.where(
-        level.grid == CRATE,
-        jnp.asarray(A["crate_lut"])[level.crate_variant.astype(jnp.int32)],
-        -1,
+        level.grid == CRATE, level.crate_variant.astype(jnp.int32), -1
     )
     img = C.draw_tiles(
-        img, crate_layer, jnp.arange(len(A["idx"]), dtype=jnp.int32),
+        img, crate_layer, jnp.asarray(A["crate_lut"]),
         A["atlas_p"], wx, wy, oob_tile=-1,
     )
 

@@ -480,7 +480,7 @@ def observe(cfg: Config, state: State):
     wx, wy = C.camera_coords(PPU, cam_x, cam_y)
 
     img = C.clear()
-    img = C.draw_background(img, jnp.asarray(A["bgs_p"])[:, level.bg_index], wx, wy)
+    img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)
     lut = jnp.asarray(A["tile_lut"])[level.theme]
     img = C.draw_tiles(img, level.grid, lut, A["atlas_p"], wx, wy, oob_tile=EMPTY)
 
@@ -499,9 +499,9 @@ def observe(cfg: Config, state: State):
         )
 
     # Spikes (z=1, tilemap.cpp:49: sub-cell placement baked into the art)
-    spike_layer = jnp.where(level.spike_grid, A["idx"]["spikeman"], -1)
+    spike_layer = jnp.where(level.spike_grid, 0, -1)
     img = C.draw_tiles(
-        img, spike_layer, jnp.arange(len(A["idx"]), dtype=jnp.int32),
+        img, spike_layer, jnp.asarray([A["idx"]["spikeman"]]),
         A["atlas_p"], wx, wy, oob_tile=-1,
     )
     # Carrot goal
@@ -526,10 +526,7 @@ def observe(cfg: Config, state: State):
     )
 
     # --- Compass HUD, screen space (jumper.cpp:473-509) ---
-    px = jnp.arange(C.OBS, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(C.OBS, dtype=jnp.float32)[:, None] + 0.5
-    px = jnp.broadcast_to(px, (C.OBS, C.OBS))
-    py = jnp.broadcast_to(py, (C.OBS, C.OBS))
+    px, py = C.pixel_coords()
     cs = 200.0 * ZOOM  # compass_size * game_zoom = 60 px on the obs
     offx, offy = -32.0 * ZOOM, 32.0 * ZOOM
     to_goal = level.goal_pos - state.pos

@@ -23,6 +23,7 @@ from ..core import spaces
 from ..gen.kruskal import kruskal_maze, masked_uniform_cell
 from ..render import atlas as atlas_lib
 from ..render import compositor as C
+from ..render.pallas_compose import compose_fixed_cam
 
 NAME = "maze"
 NUM_ACTIONS = 15  # maze.cpp:28
@@ -220,7 +221,7 @@ def observe(cfg: Config, state: State):
     img = C.clear()
     # Background spans 64 world units from origin (maze.cpp:403-408); our
     # procedural backgrounds are square so the aspect offset term vanishes.
-    img = C.draw_background(img, jnp.asarray(bgs)[:, state.level.bg_index], wx, wy)
+    img = C.draw_background(img, jnp.asarray(bgs), state.level.bg_index, wx, wy)
     img = C.draw_tiles(img, state.level.grid, jnp.asarray(lut), atlas, wx, wy,
                        oob_tile=WALL)
     # Cheese: offset (-0.48, -0.5), scale 0.95, z=+1 (tilemap.cpp:95)
@@ -236,6 +237,98 @@ def observe(cfg: Config, state: State):
         flip_x=state.face_forward,
     )
     return C.finalize(img)
+
+
+def observe_batch(cfg: Config, states: State):
+    """Batched renderer exploiting maze's fixed camera (easy/hard modes).
+
+    The camera never moves (maze.cpp:397: zoom fits the whole maze), so
+    the tile texel images, background sampling and all one-hot selectors
+    are shared across the env batch; only the tile-kind field, the bg
+    index and the two sprite layers are per-env. Compositing runs in the
+    fused Pallas kernel (render/pallas_compose.py), keeping the working
+    frame in VMEM instead of materializing per-blend HBM frames.
+    """
+    if cfg.agent_centered:  # memory mode: camera follows the agent
+        return jax.vmap(lambda s: observe(cfg, s))(states)
+
+    atlas, idx, bgs, lut_l = _assets()
+    atlas_j = jnp.asarray(atlas)
+    wd = cfg.world_dim
+    ppu = C.OBS / cfg.visibility
+    center = jnp.float32(wd / 2.0)
+    wx, wy = C.camera_coords(ppu, center, center)
+
+    # --- shared pieces (no batch dim; XLA hoists them) ---
+    tx = jnp.floor(wx).astype(jnp.int32)
+    ty = jnp.floor(wy).astype(jnp.int32)
+    in_x = (tx >= 0) & (tx < wd)
+    in_y = (ty >= 0) & (ty < wd)
+    ohx = C._onehot(jnp.clip(tx, 0, wd - 1), wd)
+    ohy = C._onehot(jnp.clip(ty, 0, wd - 1), wd)
+    u = jnp.clip(((wx - tx) * C.S).astype(jnp.int32), 0, C.S - 1)
+    v = jnp.clip(((wy - ty) * C.S).astype(jnp.int32), 0, C.S - 1)
+    ohu_t = C._onehot(u, C.S)
+    ohv_t = C._onehot(v, C.S)
+    lut = jnp.asarray(lut_l)
+    tiles = jax.vmap(
+        lambda sid: C._sep_sample(atlas_j[:, sid], ohv_t, ohu_t)
+    )(jnp.maximum(lut, 0))  # [K, 4, 64, 64]
+    # transparent lut entries contribute zero alpha
+    tiles = tiles * (lut >= 0)[:, None, None, None].astype(tiles.dtype)
+
+    # pre-sampled background bank (bg spans 64 units from the origin,
+    # maze.cpp:403-408)
+    ub = wx / 64.0
+    vb = wy / 64.0
+    H = W = atlas_lib.BG_SIZE
+    ohu_b = C._onehot(jnp.clip((ub * W).astype(jnp.int32), 0, W - 1),
+                      W, (ub >= 0) & (ub < 1))
+    ohv_b = C._onehot(jnp.clip((vb * H).astype(jnp.int32), 0, H - 1),
+                      H, (vb >= 0) & (vb < 1))
+    bgs_j = jnp.asarray(bgs)  # [3, B, H, W]
+    bg_bank = jax.vmap(
+        lambda b: C._sep_sample(bgs_j[:, b], ohv_b, ohu_b)
+    )(jnp.arange(bgs_j.shape[1]))  # [B, 3, 64, 64]
+
+
+    # --- per-env pieces ---
+    # tile-kind field G (batched matmuls over the tiny grid)
+    grid_b = states.level.grid.astype(jnp.bfloat16)  # [N, wd, wd]
+    G = jnp.einsum("rh,nhw->nrw", ohy, grid_b,
+                   preferred_element_type=jnp.bfloat16)
+    G = jnp.einsum("nrw,uw->nru", G, ohx,
+                   preferred_element_type=jnp.bfloat16)
+    inb = (in_y[:, None] & in_x[None, :])[None]
+    G = jnp.where(inb, jnp.round(G), jnp.float32(WALL)).astype(jnp.int8)
+
+    # sprite layers [4, N, 64, 64] each: cheese then mouse
+    cheese_tex = atlas_j[:, idx["cheese"]].astype(jnp.bfloat16)
+    mouse_tex = atlas_j[:, idx["mouse"]].astype(jnp.bfloat16)
+
+    def cheese_layer(s):
+        ohu, ohv = C._rect_onehots(
+            s.level.goal_pos[0] - 0.48, s.level.goal_pos[1] - 0.5,
+            0.95, 0.95, wx, wy, False,
+        )
+        return C._sep_sample(cheese_tex, ohv, ohu)
+
+    def mouse_layer(s):
+        ohu, ohv = C._rect_onehots(
+            s.pos[0] - 0.5, s.pos[1] - 0.5, 1.0, 1.0, wx, wy,
+            s.face_forward,
+        )
+        return C._sep_sample(mouse_tex, ohv, ohu)
+
+    spr = jnp.concatenate([
+        jax.vmap(cheese_layer, out_axes=1)(states),
+        jax.vmap(mouse_layer, out_axes=1)(states),
+    ])  # [8, N, 64, 64]
+
+    obs_planar = compose_fixed_cam(
+        G, tiles, bg_bank, states.level.bg_index.astype(jnp.int32), spr
+    )
+    return jnp.transpose(obs_planar, (0, 2, 3, 1))
 
 
 def obs_space(cfg: Config):

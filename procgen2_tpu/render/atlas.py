@@ -777,7 +777,9 @@ def build_atlas(names: Tuple[str, ...]) -> Tuple[np.ndarray, Dict[str, int]]:
     return np.stack(imgs), index
 
 
-BG_SIZE = 128
+BG_SIZE = 64  # matches the obs resolution: backgrounds are sampled at
+#               most once per obs pixel, so higher-res textures only cost
+#               HBM reads (the one-hot selection reads every bg per env)
 
 
 @functools.lru_cache(maxsize=None)
