@@ -13,6 +13,11 @@ TPU-native re-implementation of `/root/reference/games/coinrun/`:
     (coinrun.cpp:44-45, 357-371); zoom 0.3 camera following the agent
     (coinrun.cpp:32, common_systems.cpp:238-239).
 
+Note on particles: the reference registers System_Particles but never
+attaches Component_Particles to any coinrun entity (the agent spawn at
+coinrun.cpp:489-495 omits it), so coinrun renders no particles — matched
+here by having none.
+
 State is structure-of-arrays with fixed-capacity mob/saw slots (SURVEY.md
 §7.3); everything jits and vmaps over the env batch.
 """

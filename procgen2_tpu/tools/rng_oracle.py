@@ -7,11 +7,17 @@ prediction for the reference engines without SDL or a compiled game .so
 — the missing piece for fixed-seed parity testing, since jax.random
 cannot be seed-matched to std::mt19937 (SURVEY.md §2.4).
 
-Currently implements the maze generator replay
-(games/maze/tilemap.cpp:31-109 + maze_generator.cpp:55-139,183-195):
-every uniform_int/uniform_real draw in the reference's order, including
-the draws consumed by rejected Kruskal walls and by place_object's
-rejection loop.
+Currently implements replays for:
+  * maze (games/maze/tilemap.cpp:31-109 + maze_generator.cpp:55-195):
+    every uniform_int/uniform_real draw in the reference's order,
+    including draws consumed by rejected Kruskal walls and by
+    place_object's rejection loop;
+  * climber (games/climber/tilemap.cpp:75-172 + climber.cpp:459-497):
+    the platform-ladder walk with its conditional enemy/crystal draws.
+
+Chaser/jumper/caveflyer/coinrun replays are future work; chaser's
+egg/agent assignment additionally depends on libstdc++
+unordered_set iteration order (games/chaser/tilemap.cpp:195-213).
 
 Build the library first:  make -C native
 """
@@ -162,6 +168,85 @@ def reference_maze_layout(seed: int, mode: str = "easy"):
             goal=goal,
             bg_index=bg_index,
             bg_offset=bg_offset,
+        )
+    finally:
+        rng.close()
+
+
+def reference_climber_layout(seed: int, easy_mode: bool = False):
+    """Replay the reference climber generation for `seed`.
+
+    Draw order follows System_Tilemap::regenerate
+    (games/climber/tilemap.cpp:99-171) and the post-regenerate theming
+    draws in reset() (climber.cpp:466-492). Returns tile grid in (x,
+    y_up) coords plus mob/crystal placements and theme indices.
+    """
+    W, H = 20, 64  # tilemap.cpp:76-77
+    rng = Mt19937(seed)
+    try:
+        grid = np.zeros((W, H), np.int8)  # 0 empty, 1 top, 2 mid
+        grid[:, 0] = 1  # set_area_with_top h=1 -> top row
+        grid[0, :] = 2
+        grid[W - 1, :] = 2
+        grid[:, H - 1] = 2
+
+        difficulty = rng.uniform_int(1, 3)  # tilemap.cpp:99-101
+        num_platforms = rng.uniform_int(
+            difficulty * difficulty + 1, (difficulty + 1) ** 2 + 1
+        )
+        curr_x = rng.uniform_int(2, W - 3)  # init_x_dist(2, 17)
+        curr_y = 1
+        enemy_prob = 0.2 if easy_mode else 0.5
+        max_dy = int(1.5 * 1.5 / (2.0 * 0.2) - 0.5)  # = 5
+
+        mobs = []  # (x, y_up, vx_sign)
+        crystals = []  # (x, y_up)
+        for p in range(num_platforms):
+            delta_y = rng.uniform_int(3, max_dy - 1)
+            can_spawn = 3 <= curr_x <= W - 4
+            if can_spawn and rng.uniform_float() < enemy_prob:
+                # arg expression draws dist2 first, then spawn draws the
+                # velocity sign (tilemap.cpp:40-41,134-135)
+                mob_y = curr_y + rng.uniform_int(0, 1) + 2
+                vx_sign = rng.uniform_int(0, 1) * 2 - 1
+                mobs.append((curr_x, mob_y, vx_sign))
+            curr_y += delta_y
+            plat_len = 2 + rng.uniform_int(0, 9)
+            vx = rng.uniform_int(0, 1) * 2 - 1
+            if curr_x < 3:
+                vx = 1
+            if curr_x > W - 3:
+                vx = -1
+            candidates = []
+            for j in range(plat_len):
+                nx = curr_x + (j + 1) * vx
+                if nx <= 0 or nx >= W - 1:
+                    break
+                candidates.append(nx)
+                if curr_y < H:
+                    grid[nx, curr_y] = 1  # wall_top
+            if rng.uniform_float() < 0.5 or p == num_platforms - 1:
+                crystals.append(
+                    (candidates[rng.uniform_int(0, len(candidates) - 1)],
+                     curr_y + 1)
+                )
+            curr_x = candidates[rng.uniform_int(0, len(candidates) - 1)]
+
+        # reset() theming draws (climber.cpp:466-492)
+        bg_index = rng.uniform_int(0, 48)
+        bg_offset = rng.uniform_float()
+        agent_theme = rng.uniform_int(0, 3)
+        map_theme = rng.uniform_int(0, 3)
+        return dict(
+            difficulty=difficulty,
+            num_platforms=num_platforms,
+            grid=grid,
+            mobs=mobs,
+            crystals=crystals,
+            bg_index=bg_index,
+            bg_offset=bg_offset,
+            agent_theme=agent_theme,
+            map_theme=map_theme,
         )
     finally:
         rng.close()

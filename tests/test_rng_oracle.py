@@ -77,6 +77,28 @@ def test_maze_layout_replay_properties():
     assert len(dims) > 1  # seed variety exercises multiple sizes
 
 
+def test_climber_layout_replay_properties():
+    from procgen2_tpu.tools.rng_oracle import reference_climber_layout
+
+    for seed in range(15):
+        lay = reference_climber_layout(seed)
+        d = lay["difficulty"]
+        assert 1 <= d <= 3
+        assert d * d + 1 <= lay["num_platforms"] <= (d + 1) ** 2 + 1
+        # platforms climb in steps of 3..4 within [1, H)
+        assert len(lay["crystals"]) >= 1  # last platform always spawns one
+        for (x, y) in lay["crystals"]:
+            assert 0 < x < 19
+        for (x, y, s) in lay["mobs"]:
+            assert 3 <= x <= 16 and s in (-1, 1)
+        # borders intact
+        g = lay["grid"]
+        assert (g[0] == 2).all() and (g[19] == 2).all()
+        # floor is wall_top except corners (columns overwrite them,
+        # tilemap.cpp:90-93 order)
+        assert (g[1:19, 0] == 1).all()
+
+
 def test_layout_is_seed_deterministic():
     from procgen2_tpu.tools.rng_oracle import reference_maze_layout
 
