@@ -23,7 +23,6 @@ from ..core import spaces
 from ..gen.kruskal import kruskal_maze, masked_uniform_cell
 from ..render import atlas as atlas_lib
 from ..render import compositor as C
-from ..render.pallas_compose import compose_fixed_cam
 
 NAME = "maze"
 NUM_ACTIONS = 15  # maze.cpp:28
@@ -242,17 +241,23 @@ def observe(cfg: Config, state: State):
 def observe_batch(cfg: Config, states: State):
     """Batched renderer exploiting maze's fixed camera (easy/hard modes).
 
-    The camera never moves (maze.cpp:397: zoom fits the whole maze), so
-    the tile texel images, background sampling and all one-hot selectors
-    are shared across the env batch; only the tile-kind field, the bg
-    index and the two sprite layers are per-env. Compositing runs in the
-    fused Pallas kernel (render/pallas_compose.py), keeping the working
-    frame in VMEM instead of materializing per-blend HBM frames.
+    The camera never moves (maze.cpp:397: zoom fits the whole maze) and
+    *all* scene objects sit on cell-snapped positions — the mouse spans
+    exactly its cell, the cheese's offset/scale rect (tilemap.cpp:95)
+    stays inside its cell. So sprites are just extra *tile kinds*: the
+    intra-cell texel image of each kind is a shared separable field
+    (one pair of one-hot matmuls, no batch dim), and the only per-env
+    data are a small augmented kind-grid and the background index. The
+    whole frame then composites in one fused XLA elementwise chain with
+    zero full-frame per-layer intermediates:
+
+        kinds: 0 empty, 1 wall, 2 cheese, 3 mouse, 4 mouse(flip),
+               5 mouse-on-cheese, 6 mouse(flip)-on-cheese
     """
     if cfg.agent_centered:  # memory mode: camera follows the agent
         return jax.vmap(lambda s: observe(cfg, s))(states)
 
-    atlas, idx, bgs, lut_l = _assets()
+    atlas, idx, bgs, _lut = _assets()
     atlas_j = jnp.asarray(atlas)
     wd = cfg.world_dim
     ppu = C.OBS / cfg.visibility
@@ -266,19 +271,29 @@ def observe_batch(cfg: Config, states: State):
     in_y = (ty >= 0) & (ty < wd)
     ohx = C._onehot(jnp.clip(tx, 0, wd - 1), wd)
     ohy = C._onehot(jnp.clip(ty, 0, wd - 1), wd)
-    u = jnp.clip(((wx - tx) * C.S).astype(jnp.int32), 0, C.S - 1)
-    v = jnp.clip(((wy - ty) * C.S).astype(jnp.int32), 0, C.S - 1)
+    fx = wx - tx  # intra-cell fractional coords, [0, 1)
+    fy = wy - ty
+    u = jnp.clip((fx * C.S).astype(jnp.int32), 0, C.S - 1)
+    v = jnp.clip((fy * C.S).astype(jnp.int32), 0, C.S - 1)
     ohu_t = C._onehot(u, C.S)
     ohv_t = C._onehot(v, C.S)
-    lut = jnp.asarray(lut_l)
-    tiles = jax.vmap(
-        lambda sid: C._sep_sample(atlas_j[:, sid], ohv_t, ohu_t)
-    )(jnp.maximum(lut, 0))  # [K, 4, 64, 64]
-    # transparent lut entries contribute zero alpha
-    tiles = tiles * (lut >= 0)[:, None, None, None].astype(tiles.dtype)
 
-    # pre-sampled background bank (bg spans 64 units from the origin,
-    # maze.cpp:403-408)
+    # Cheese rect: top-left = cell + (0.02, 0.0), size 0.95 (draw offset
+    # (-0.48, -0.5) from the cell-center goal_pos, tilemap.cpp:95).
+    cu = (fx - 0.02) / 0.95
+    cv = fy / 0.95
+    ohu_c = C._onehot(jnp.clip((cu * C.S).astype(jnp.int32), 0, C.S - 1),
+                      C.S, (cu >= 0) & (cu < 1))
+    ohv_c = C._onehot(jnp.clip((cv * C.S).astype(jnp.int32), 0, C.S - 1),
+                      C.S, (cv >= 0) & (cv < 1))
+
+    wall_img = C._sep_sample(atlas_j[:, idx["maze_wall"]], ohv_t, ohu_t)
+    cheese_img = C._sep_sample(atlas_j[:, idx["cheese"]], ohv_c, ohu_c)
+    mouse_img = C._sep_sample(atlas_j[:, idx["mouse"]], ohv_t, ohu_t)
+    mouse_flip = C._sep_sample(atlas_j[:, idx["mouse"]], ohv_t, ohu_t[:, ::-1])
+
+    # pre-sampled background bank, kept u8 (bg spans 64 units from the
+    # origin, maze.cpp:403-408); the row gather below reads u8 rows.
     ub = wx / 64.0
     vb = wy / 64.0
     H = W = atlas_lib.BG_SIZE
@@ -287,48 +302,52 @@ def observe_batch(cfg: Config, states: State):
     ohv_b = C._onehot(jnp.clip((vb * H).astype(jnp.int32), 0, H - 1),
                       H, (vb >= 0) & (vb < 1))
     bgs_j = jnp.asarray(bgs)  # [3, B, H, W]
-    bg_bank = jax.vmap(
+    bg_bank = jnp.clip(jnp.round(jax.vmap(
         lambda b: C._sep_sample(bgs_j[:, b], ohv_b, ohu_b)
-    )(jnp.arange(bgs_j.shape[1]))  # [B, 3, 64, 64]
-
+    )(jnp.arange(bgs_j.shape[1]))), 0, 255).astype(jnp.uint8)  # [B,3,64,64]
 
     # --- per-env pieces ---
-    # tile-kind field G (batched matmuls over the tiny grid)
-    grid_b = states.level.grid.astype(jnp.bfloat16)  # [N, wd, wd]
-    G = jnp.einsum("rh,nhw->nrw", ohy, grid_b,
+    # augmented kind grid: scatter cheese/mouse kinds into the tiny grid
+    def aug_one(grid, goal_pos, pos, flip):
+        gx = goal_pos[0].astype(jnp.int32)
+        gy = goal_pos[1].astype(jnp.int32)
+        mx = pos[0].astype(jnp.int32)
+        my = pos[1].astype(jnp.int32)
+        on_cheese = (mx == gx) & (my == gy)
+        mval = jnp.where(on_cheese,
+                         jnp.where(flip, 6, 5),
+                         jnp.where(flip, 4, 3)).astype(jnp.int8)
+        g = grid.at[gy, gx].set(jnp.int8(2))
+        return g.at[my, mx].set(mval)
+
+    aug = jax.vmap(aug_one)(
+        states.level.grid, states.level.goal_pos, states.pos,
+        states.face_forward,
+    )  # [N, wd, wd] int8, values 0..6
+
+    # kind-under-pixel field G: two batched one-hot matmuls
+    G = jnp.einsum("rh,nhw->nrw", ohy, aug.astype(jnp.bfloat16),
                    preferred_element_type=jnp.bfloat16)
     G = jnp.einsum("nrw,uw->nru", G, ohx,
                    preferred_element_type=jnp.bfloat16)
     inb = (in_y[:, None] & in_x[None, :])[None]
-    G = jnp.where(inb, jnp.round(G), jnp.float32(WALL)).astype(jnp.int8)
+    Gi = jnp.where(inb, jnp.round(G), jnp.float32(WALL)).astype(jnp.int8)
+    Gi = Gi[:, None]  # [N, 1, 64, 64]
 
-    # sprite layers [4, N, 64, 64] each: cheese then mouse
-    cheese_tex = atlas_j[:, idx["cheese"]].astype(jnp.bfloat16)
-    mouse_tex = atlas_j[:, idx["mouse"]].astype(jnp.bfloat16)
+    # --- fused compose: bg row-gather + 4 shared-image masked blends ---
+    inv = jnp.bfloat16(1 / 255.0)
+    img = bg_bank[states.level.bg_index.astype(jnp.int32)].astype(jnp.bfloat16)
 
-    def cheese_layer(s):
-        ohu, ohv = C._rect_onehots(
-            s.level.goal_pos[0] - 0.48, s.level.goal_pos[1] - 0.5,
-            0.95, 0.95, wx, wy, False,
-        )
-        return C._sep_sample(cheese_tex, ohv, ohu)
+    def blend(img, mask, kimg):
+        a = mask.astype(jnp.bfloat16) * (kimg[3][None, None] * inv)
+        return img + a * (kimg[:3][None] - img)
 
-    def mouse_layer(s):
-        ohu, ohv = C._rect_onehots(
-            s.pos[0] - 0.5, s.pos[1] - 0.5, 1.0, 1.0, wx, wy,
-            s.face_forward,
-        )
-        return C._sep_sample(mouse_tex, ohv, ohu)
-
-    spr = jnp.concatenate([
-        jax.vmap(cheese_layer, out_axes=1)(states),
-        jax.vmap(mouse_layer, out_axes=1)(states),
-    ])  # [8, N, 64, 64]
-
-    obs_planar = compose_fixed_cam(
-        G, tiles, bg_bank, states.level.bg_index.astype(jnp.int32), spr
-    )
-    return jnp.transpose(obs_planar, (0, 2, 3, 1))
+    img = blend(img, Gi == 1, wall_img)
+    img = blend(img, (Gi == 2) | (Gi >= 5), cheese_img)
+    img = blend(img, (Gi == 3) | (Gi == 5), mouse_img)
+    img = blend(img, (Gi == 4) | (Gi == 6), mouse_flip)
+    obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    return jnp.transpose(obs, (0, 2, 3, 1))
 
 
 def obs_space(cfg: Config):

@@ -159,3 +159,21 @@ def test_determinism(easy_env):
     s2, t2 = env.step(bank, s2, a)
     assert (np.asarray(t1.obs) == np.asarray(t2.obs)).all()
     assert (np.asarray(t1.reward) == np.asarray(t2.reward)).all()
+
+
+@pytest.mark.parametrize("mode", ["easy", "hard"])
+def test_fast_path_matches_reference_renderer(mode):
+    """observe_batch (kind-field compositor) vs vmapped observe (per-env
+    draw calls): identical scenes within bf16 blend quantization (+-1)."""
+    from procgen2_tpu.games import maze
+
+    env = pg.make("maze", mode=mode)
+    bank = env.generate_bank(jax.random.key(0), num_levels=8)
+    state, _ = env.reset(bank, jax.random.key(1), num_envs=8)
+    for i in range(10):  # move mice around, incl. terminal/reset lanes
+        a = jax.random.randint(jax.random.key(100 + i), (8,), 0, 15)
+        state, _ = env.step(bank, state, a)
+    ref = jax.vmap(maze.observe, in_axes=(None, 0))(env.cfg, state.game)
+    fast = maze.observe_batch(env.cfg, state.game)
+    diff = np.abs(np.asarray(ref, np.int32) - np.asarray(fast, np.int32))
+    assert diff.max() <= 1
