@@ -20,6 +20,7 @@
 
 #include <cstdint>
 #include <random>
+#include <unordered_set>
 
 extern "C" {
 
@@ -81,6 +82,73 @@ void rng_uniform_float_batch(int32_t h, float lo, float hi, int32_t n,
     for (int32_t i = 0; i < n; i++) out[i] = dist(g_rngs[h]);
 }
 
-int32_t rng_oracle_version() { return 1; }
+// ---------------------------------------------------------------------------
+// std::unordered_set<int> handles.
+//
+// Several reference generators make RNG-indexed choices over containers whose
+// *order* comes from libstdc++ unordered_set iteration: jumper/caveflyer build
+// `free_cells` by iterating `best_room` (games/jumper/tilemap.cpp:146-151,
+// games/caveflyer/tilemap.cpp:155-160), and chaser takes the *first* element
+// of `selected_indices` as the agent spawn and the rest as eggs
+// (games/chaser/tilemap.cpp:195-213). That order is an implementation detail
+// of libstdc++'s _Hashtable (bucket-count growth, insert-at-bucket-head), so
+// the only robust oracle is libstdc++ itself: Python replays the reference's
+// exact insertion sequence into a real unordered_set and reads back the
+// iteration order.
+// ---------------------------------------------------------------------------
+
+static constexpr int kMaxSets = 64;
+static std::unordered_set<int32_t> g_sets[kMaxSets];
+static bool g_set_used[kMaxSets] = {false};
+
+int32_t uset_create() {
+    for (int i = 0; i < kMaxSets; i++) {
+        if (!g_set_used[i]) {
+            g_set_used[i] = true;
+            g_sets[i].clear();
+            return i;
+        }
+    }
+    return -1;
+}
+
+void uset_destroy(int32_t h) {
+    if (h >= 0 && h < kMaxSets) {
+        g_sets[h].clear();
+        g_set_used[h] = false;
+    }
+}
+
+void uset_clear(int32_t h) { g_sets[h].clear(); }
+
+void uset_insert(int32_t h, int32_t v) { g_sets[h].insert(v); }
+
+void uset_insert_batch(int32_t h, const int32_t* vals, int32_t n) {
+    for (int32_t i = 0; i < n; i++) g_sets[h].insert(vals[i]);
+}
+
+int32_t uset_contains(int32_t h, int32_t v) {
+    return g_sets[h].count(v) ? 1 : 0;
+}
+
+int32_t uset_size(int32_t h) { return (int32_t)g_sets[h].size(); }
+
+// Fill `out` (capacity `cap`) with the set's elements in iteration order
+// (begin -> end); returns the number written.
+int32_t uset_iterate(int32_t h, int32_t* out, int32_t cap) {
+    int32_t n = 0;
+    for (int32_t v : g_sets[h]) {
+        if (n >= cap) break;
+        out[n++] = v;
+    }
+    return n;
+}
+
+// Copy-assign src into dst, mirroring `best_room = next_room`
+// (games/jumper/room_generator.cpp:158-162) so the copy's iteration order is
+// whatever libstdc++'s copy constructor produces.
+void uset_assign(int32_t dst, int32_t src) { g_sets[dst] = g_sets[src]; }
+
+int32_t rng_oracle_version() { return 2; }
 
 }  // extern "C"

@@ -73,7 +73,7 @@ PART_LIFESPAN = 5.0
 PART_SPAWN_TIME = 0.5
 
 _MODES = {"easy": 20, "hard": 40, "memory": 45}
-NUM_BGS = 12  # caveflyer.cpp:59-72
+NUM_BGS = 13  # caveflyer.cpp:59-73 (13 space backgrounds)
 
 _LUT_WALL = np.array([NONE, FULL], np.int32)  # wall -> full
 
