@@ -746,3 +746,173 @@ def obs_space(cfg: Config):
 
 def action_space(cfg: Config):
     return spaces.MultiDiscrete((NUM_ACTIONS,))
+
+
+# ---------------------------------------------------------------------------
+# Batched fast renderer: fixed camera + pixel-snapped stamp groups
+# ---------------------------------------------------------------------------
+
+ROT_BINS = 16  # boss-bullet rotation quantization for the stamp bank
+
+
+@functools.lru_cache(maxsize=None)
+def _stamp_banks():
+    """Pre-rasterized patch banks (see compositor.stamps_from_pixel_bank).
+
+    Rotated boss bullets (bossfight renders each bullet rotated to its
+    heading) become 16 pre-rasterized rotation variants per bolt color —
+    replacing the per-pixel rotated-gather path that needed one full
+    [N, 64, 64, 4] temp per live bullet and ran the compiler out of HBM
+    at batch 4096."""
+    import math
+
+    A = atlas_lib
+    specs = []
+    for k in A.LASER_COLORS:
+        for t in range(ROT_BINS):
+            specs.append(
+                ("bolt_" + k, 0.3 * PPU, 0.3 * PPU, t * 2 * math.pi / ROT_BINS)
+            )
+    for i in range(5):
+        specs.append((f"explosion{i}", 0.38 * PPU, 0.38 * PPU))
+    bb_bank = A.build_pixel_bank(tuple(specs), patch=8)
+
+    ab_specs = tuple(
+        [("bolt_" + k, 0.15 * PPU, 0.15 * PPU) for k in A.LASER_COLORS]
+        + [(f"explosion{i}", 0.19 * PPU, 0.19 * PPU) for i in range(5)]
+    )
+    ab_bank = A.build_pixel_bank(ab_specs, patch=4)
+
+    bar_bank = A.build_pixel_bank(
+        tuple((f"barrier{i}", 0.3 * PPU, 0.3 * PPU) for i in range(3)), patch=8
+    )
+    boss_bank = A.build_pixel_bank(
+        tuple(
+            (f"boss_ship_{k}", 1.66 * PPU, 1.25 * PPU)
+            for k in A.BOSS_SHIP_COLORS
+        ),
+        patch=28,
+    )
+    shield_bank = A.build_pixel_bank(
+        (("shield", 2.234 * PPU, 1.86 * PPU),), patch=40
+    )
+    dmg_bank = A.build_pixel_bank(
+        tuple((f"explosion{i}", 1.125 * PPU, 1.125 * PPU) for i in range(5)),
+        patch=20,
+    )
+    ship_bank = A.build_pixel_bank(
+        tuple(
+            (f"pship_{k}", 0.31 * PPU, 0.234 * PPU)
+            for k in A.PLAYER_SHIP_COLORS
+        ),
+        patch=8,
+    )
+    return dict(bb=bb_bank, ab=ab_bank, bar=bar_bank, boss=boss_bank,
+                shield=shield_bank, dmg=dmg_bank, ship=ship_bank)
+
+
+@functools.lru_cache(maxsize=None)
+def _bg_bank():
+    """Background bank pre-sampled at obs resolution (fixed camera);
+    host-side numpy so the cached array is a constant, not a tracer."""
+    A = _assets()
+    bgs_p = np.asarray(A["bgs_p"])  # [3, B, H, W]
+    _, B, H, W = bgs_p.shape
+    c = np.arange(C.OBS) + 0.5 - C.OBS / 2
+    w = c / PPU  # world coords of pixel centers
+    u = (w + HALF) / (2 * HALF)
+    ui = np.clip((u * W).astype(np.int32), 0, W - 1)
+    vi = np.clip((u * H).astype(np.int32), 0, H - 1)
+    return bgs_p[:, :, vi[:, None], ui[None, :]].transpose(1, 0, 2, 3).copy()
+
+
+def _r0c0(cx, cy, P):
+    """Top-left obs pixel of a P-patch centered at world (cx, cy)."""
+    c0 = jnp.round((cx + HALF) * PPU - P / 2).astype(jnp.int32)
+    r0 = jnp.round((cy + HALF) * PPU - P / 2).astype(jnp.int32)
+    return r0, c0
+
+
+def observe_batch(cfg: Config, states: State):
+    banks = _stamp_banks()
+    level = states.level
+    N = states.pos.shape[0]
+
+    img = jnp.asarray(_bg_bank())[
+        level.bg_index.astype(jnp.int32)
+    ].astype(jnp.bfloat16)
+
+    def blend(img, group, var, cx, cy, alives=None, alpha=None):
+        P = banks[group].shape[-1]
+        r0, c0 = _r0c0(cx, cy, P)
+        rgbp, a = C.stamps_from_pixel_bank(
+            banks[group], var, r0, c0, alives=alives, alpha=alpha
+        )
+        return C.blend_premul(img, rgbp, a)
+
+    # barriers (bossfight.cpp:480: sprite offset -0.15, scale 0.3)
+    blank = jnp.broadcast_to(level.barrier_tex.astype(jnp.int32), (N, 4)) \
+        if level.barrier_tex.ndim == 1 else level.barrier_tex.astype(jnp.int32)
+    img = blend(img, "bar", blank,
+                level.barrier_pos[..., 0], level.barrier_pos[..., 1],
+                alives=level.barrier_exists)
+
+    # boss bullets / their explosions (rotation-quantized variants)
+    bwin = jax.vmap(_window, in_axes=(0, 0, None))(
+        states.bb_next, states.bb_num, NUM_B_BULLETS
+    )
+    frame = states.bb_frame
+    is_live = bwin & (frame == 0.0)
+    is_expl = bwin & (frame >= 1.0)
+    rot = states.bb_rot + jnp.pi * 0.5
+    rbin = jnp.mod(
+        jnp.round(rot / (2 * jnp.pi / ROT_BINS)).astype(jnp.int32), ROT_BINS
+    )
+    eidx = jnp.clip(frame.astype(jnp.int32) - 1, 0, 4)
+    var = jnp.where(
+        is_live,
+        level.bullet_tex[:, None].astype(jnp.int32) * ROT_BINS + rbin,
+        3 * ROT_BINS + eidx,
+    )
+    img = blend(img, "bb", var, states.bb_pos[..., 0], states.bb_pos[..., 1],
+                alives=is_live | is_expl)
+
+    # boss ship + shield
+    img = blend(img, "boss", level.boss_tex.astype(jnp.int32)[:, None],
+                states.boss_pos[:, None, 0], states.boss_pos[:, None, 1])
+    img = blend(img, "shield", jnp.zeros((N, 1), jnp.int32),
+                states.boss_pos[:, None, 0], states.boss_pos[:, None, 1],
+                alives=(states.phase_index % 2 == 0)[:, None],
+                alpha=jnp.full((N, 1), 0.7, jnp.float32))
+
+    # boss damage explosions (draw offset -0.56 vs 1.125/2: ~0.002u)
+    ewin = jax.vmap(_window, in_axes=(0, 0, None))(
+        states.ex_next, states.ex_num, NUM_EXPLOSIONS
+    )
+    img = blend(img, "dmg",
+                jnp.clip(states.ex_frame.astype(jnp.int32), 0, 4),
+                states.ex_pos[..., 0] - 0.0025, states.ex_pos[..., 1] - 0.0025,
+                alives=ewin & (states.ex_frame >= 0.0))
+
+    # player bullets / explosions
+    awin = jax.vmap(_window, in_axes=(0, 0, None))(
+        states.ab_next, states.ab_num, NUM_A_BULLETS
+    )
+    aframe = states.ab_frame
+    a_live = awin & (aframe == 0.0)
+    a_expl = awin & (aframe >= 1.0)
+    avar = jnp.where(
+        a_live,
+        level.bullet_tex[:, None].astype(jnp.int32),
+        3 + jnp.clip(aframe.astype(jnp.int32) - 1, 0, 4),
+    )
+    img = blend(img, "ab", avar,
+                states.ab_pos[..., 0], states.ab_pos[..., 1],
+                alives=a_live | a_expl)
+
+    # agent ship
+    img = blend(img, "ship", level.ship_tex.astype(jnp.int32)[:, None],
+                states.pos[:, None, 0], states.pos[:, None, 1])
+
+    obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    return jnp.transpose(obs, (0, 2, 3, 1))

@@ -46,7 +46,7 @@ from flax import struct
 from ..core import spaces
 from ..gen.kruskal import masked_uniform_cell
 from ..gen import rooms
-from ..physics.tiles import resolve_tile_collisions, NONE, FULL
+from ..physics.tiles import probe_any_solid, resolve_tile_collisions, NONE, FULL
 from ..physics.aabb import check_collision
 from ..render import atlas as atlas_lib
 from ..render import compositor as C
@@ -367,17 +367,19 @@ def step(cfg: Config, state: State, action):
         n_rot = rot + movement_x * SPIN_RATE * DT
         dirx, diry = jnp.cos(n_rot), jnp.sin(n_rot)
 
-        # fire / spawn bullet (common_systems.cpp:131-147)
+        # fire / spawn bullet (common_systems.cpp:131-147); slot update is
+        # a one-hot mask, not a scatter (vmapped scatters are the slow
+        # path on TPU)
         can_spawn = fire & (bullet_timer == 0.0) & (num_b < NUM_BULLETS)
-        slot = next_b
-        b_rot_n = b_rot.at[slot].set(jnp.where(can_spawn, n_rot, b_rot[slot]))
-        b_vel_n = b_vel.at[slot].set(
-            jnp.where(can_spawn,
-                      jnp.stack([dirx * BULLET_SPEED, diry * BULLET_SPEED]),
-                      b_vel[slot])
+        upd = can_spawn & (jnp.arange(NUM_BULLETS) == next_b)
+        b_rot_n = jnp.where(upd, n_rot, b_rot)
+        b_vel_n = jnp.where(
+            upd[:, None],
+            jnp.stack([dirx * BULLET_SPEED, diry * BULLET_SPEED])[None, :],
+            b_vel,
         )
-        b_pos_n = b_pos.at[slot].set(jnp.where(can_spawn, pos, b_pos[slot]))
-        b_frame_n = b_frame.at[slot].set(jnp.where(can_spawn, 0.0, b_frame[slot]))
+        b_pos_n = jnp.where(upd[:, None], pos[None, :], b_pos)
+        b_frame_n = jnp.where(upd, 0.0, b_frame)
         n_next_b = jnp.where(can_spawn, (next_b + 1) % NUM_BULLETS, next_b)
         n_num_b = num_b + can_spawn.astype(jnp.int32)
         # timer only decays when fire is held but spawn is blocked
@@ -418,16 +420,12 @@ def step(cfg: Config, state: State, action):
         window = _ring_window(n_next_b, n_num_b)
         live = window & (b_frame_n == 0.0)
         bx, by = b_pos_n[:, 0], b_pos_n[:, 1]
-        # wall probe (0.02^2 rect): tile under the probe center
-        def probe_wall(px, py):
-            D = level.wall.shape[0]
-            _, _, c = resolve_tile_collisions(
-                level.wall.astype(jnp.int8), _LUT_WALL,
-                px - 0.01, py - 0.01, 0.02, 0.02, 1,
-            )
-            return c
-
-        wall_hit = jax.vmap(probe_wall)(bx, by) & live
+        # wall probe (0.02^2 rect): batched 4-corner solid test — the
+        # full resolver's `collided` for small rects (probe_any_solid)
+        wall_hit = probe_any_solid(
+            level.wall, bx - 0.01, by - 0.01,
+            jnp.full(NUM_BULLETS, 0.02), jnp.full(NUM_BULLETS, 0.02),
+        ) & live
 
         obst_hit = live & (
             level.obst_exists[None, :] & jax.vmap(
@@ -448,10 +446,13 @@ def step(cfg: Config, state: State, action):
             )(bx, by)
         ) & live[:, None] & ~obst_hit[:, None]  # obstacles precede targets
         targ_hit = targ_overlap.any(axis=1)
-        # first overlapping target per bullet (entity order = slot order)
+        # first overlapping target per bullet (entity order = slot order);
+        # one-hot reduction instead of a vmapped scatter-max
         first_targ = jnp.argmax(targ_overlap, axis=1)
-        destroyed = jnp.zeros_like(target_alive)
-        destroyed = destroyed.at[first_targ].max(targ_hit)
+        M_t = target_alive.shape[0]
+        destroyed = (
+            (first_targ[:, None] == jnp.arange(M_t)) & targ_hit[:, None]
+        ).any(axis=0)
         n_targets_destroyed = (destroyed & target_alive).sum()
         n_target_alive = target_alive & ~destroyed
 
@@ -478,15 +479,13 @@ def step(cfg: Config, state: State, action):
         n_num_b = n_num_b - expired.sum()
 
         # ---- enemy ships (common_systems.cpp:50-75) ----
-        def mob_one(p, v):
-            np_ = p + v * DT
-            _, _, c = resolve_tile_collisions(
-                level.wall.astype(jnp.int8), _LUT_WALL,
-                np_[0] - 0.4, np_[1] - 0.4, 0.8, 0.8, 1,
-            )
-            return np_, jnp.where(c, -v, v)
-
-        m_pos, m_vel = jax.vmap(mob_one)(enemy_pos, enemy_vel)
+        m_np = enemy_pos + enemy_vel * DT
+        m_col = probe_any_solid(
+            level.wall, m_np[:, 0] - 0.4, m_np[:, 1] - 0.4,
+            jnp.full(m_np.shape[0], 0.8), jnp.full(m_np.shape[0], 0.8),
+        )
+        m_pos = m_np
+        m_vel = jnp.where(m_col[:, None], -enemy_vel, enemy_vel)
         m_pos = jnp.where(level.enemy_exists[:, None], m_pos, enemy_pos)
         m_vel = jnp.where(level.enemy_exists[:, None], m_vel, enemy_vel)
 
@@ -500,16 +499,16 @@ def step(cfg: Config, state: State, action):
         pslot = jnp.clip(dead_idx, 0, NUM_PARTICLES - 1)
         prot = n_rot + jnp.pi * 0.5
         pc, ps = jnp.cos(prot), jnp.sin(prot)
-        # offset (0, 0.3) rotated by prot (tilemap.cpp:198)
+        # offset (0, 0.3) rotated by prot (tilemap.cpp:198); one-hot slot
+        # update instead of scatter
         off = jnp.stack([pc * 0.0 - ps * 0.3, ps * 0.0 + pc * 0.3])
-        plife = plife.at[pslot].set(jnp.where(do, PART_LIFESPAN, plife[pslot]))
-        n_ppos = part_pos.at[pslot].set(
-            jnp.where(do, n_pos + off, part_pos[pslot])
+        pupd = do & (jnp.arange(NUM_PARTICLES) == pslot)
+        plife = jnp.where(pupd, PART_LIFESPAN, plife)
+        n_ppos = jnp.where(pupd[:, None], (n_pos + off)[None, :], part_pos)
+        n_pdir = jnp.where(
+            pupd[:, None], jnp.stack([-dirx, -diry])[None, :], part_dir
         )
-        n_pdir = part_dir.at[pslot].set(
-            jnp.where(do, jnp.stack([-dirx, -diry]), part_dir[pslot])
-        )
-        n_prot = part_rot.at[pslot].set(jnp.where(do, prot, part_rot[pslot]))
+        n_prot = jnp.where(pupd, prot, part_rot)
 
         sub_reward = achieved * 10.0 + n_targets_destroyed.astype(jnp.float32) * 3.0
 
@@ -637,3 +636,161 @@ def obs_space(cfg: Config):
 
 def action_space(cfg: Config):
     return spaces.MultiDiscrete((NUM_ACTIONS,))
+
+
+# ---------------------------------------------------------------------------
+# Batched fast renderer: per-env camera + pixel-snapped stamp groups
+# ---------------------------------------------------------------------------
+
+SHIP_ROT_BINS = 32
+BULLET_ROT_BINS = 16
+PART_ROT_BINS = 8
+PART_SCALE_BINS = 4
+
+
+@functools.lru_cache(maxsize=None)
+def _stamp_banks():
+    """Pre-rasterized stamp banks; rotation (ship/bullets/particles)
+    becomes a quantized variant index instead of the per-pixel rotated
+    gather that made this game ~1000x slower than maze (see
+    compositor.stamps_from_pixel_bank)."""
+    import math
+
+    A = atlas_lib
+    # static objects: meteor, red UFO, enemy ship, green UFO goal (all
+    # 0.8-unit sprites with the reference's aspect tweaks)
+    obj_bank = A.build_pixel_bank(
+        (
+            ("meteor", 0.8 * PPU, 0.8 * 84 / 101 * PPU),
+            ("ufo_red", 0.8 * PPU, 0.8 * PPU),
+            ("enemy_ship", 0.8 * PPU, 0.8 * 84 / 82 * PPU),
+            ("ufo_green", 0.8 * PPU, 0.8 * PPU),
+        ),
+        patch=8,
+    )
+    # bullets: rotated laser variants + explosion frames
+    specs = [
+        ("laser", 0.081 * PPU, 0.231 * PPU,
+         t * 2 * math.pi / BULLET_ROT_BINS)
+        for t in range(BULLET_ROT_BINS)
+    ] + [(f"explosion{i}", 0.375 * PPU, 0.375 * PPU) for i in range(5)]
+    bullet_bank = A.build_pixel_bank(tuple(specs), patch=4)
+    # ship: 32 rotation bins (0.93 x 0.70 units, +90deg baked by caller)
+    ship_bank = A.build_pixel_bank(
+        tuple(
+            ("ship_red", 0.928 * PPU, 0.703 * PPU,
+             t * 2 * math.pi / SHIP_ROT_BINS)
+            for t in range(SHIP_ROT_BINS)
+        ),
+        patch=12,
+    )
+    # thrust smoke: rotation x scale grid (scale 0.6..1.0)
+    specs = []
+    for s in range(PART_SCALE_BINS):
+        sc = 0.6 + 0.4 * (s + 0.5) / PART_SCALE_BINS
+        for t in range(PART_ROT_BINS):
+            specs.append(
+                ("smoke", sc * PPU, sc * PPU, t * 2 * math.pi / PART_ROT_BINS)
+            )
+    part_bank = A.build_pixel_bank(tuple(specs), patch=10)
+    return dict(obj=obj_bank, bullet=bullet_bank, ship=ship_bank,
+                part=part_bank)
+
+
+def observe_batch(cfg: Config, states: State):
+    A = _assets()
+    banks = _stamp_banks()
+    level = states.level
+    M = cfg.max_obj
+    N = states.pos.shape[0]
+    cam = states.pos  # camera follows the ship (caveflyer.cpp:452-453)
+
+    c = jnp.arange(C.OBS, dtype=jnp.float32) + 0.5 - C.OBS / 2
+    wx_b = cam[:, 0:1] + c[None, :] / PPU
+    wy_b = cam[:, 1:2] + c[None, :] / PPU
+
+    img = C.draw_background_batch(
+        jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32), wx_b, wy_b
+    )
+    img = C.draw_tiles_batch(
+        img, level.wall.astype(jnp.int8), A["lut"], A["atlas_p"],
+        wx_b, wy_b, oob_tile=0,
+    )
+
+    def pix(centers, P):
+        """[N, K, 2] world centers -> (r0, c0) patch origins."""
+        px = (centers[..., 0] - cam[:, None, 0]) * PPU + C.OBS / 2
+        py = (centers[..., 1] - cam[:, None, 1]) * PPU + C.OBS / 2
+        return (jnp.round(py - P / 2).astype(jnp.int32),
+                jnp.round(px - P / 2).astype(jnp.int32))
+
+    def blend(img, bank, var, centers, alives=None, alpha=None):
+        P = bank.shape[-1]
+        r0, c0 = pix(centers, P)
+        rgbp, a = C.stamps_from_pixel_bank(bank, var, r0, c0,
+                                           alives=alives, alpha=alpha)
+        return C.blend_premul(img, rgbp, a)
+
+    # thrust particles (before sprites, caveflyer.cpp:437)
+    ratio = jnp.clip(
+        (PART_LIFESPAN - states.part_life) / PART_LIFESPAN, 0.0, 1.0
+    )
+    shift = ratio * 2.0
+    pcent = states.part_pos + states.part_dir * shift[..., None]
+    sc = 0.4 * ratio + 0.6
+    sbin = jnp.clip(((sc - 0.6) / 0.4 * PART_SCALE_BINS).astype(jnp.int32),
+                    0, PART_SCALE_BINS - 1)
+    rbin = jnp.mod(
+        jnp.round(states.part_rot / (2 * jnp.pi / PART_ROT_BINS))
+        .astype(jnp.int32), PART_ROT_BINS,
+    )
+    img = blend(img, banks["part"], sbin * PART_ROT_BINS + rbin, pcent,
+                alives=states.part_life > 0.0,
+                alpha=0.5 * (1.0 - ratio))
+
+    # static objects + goal in one stamp group (sprite centers are the
+    # entity positions: draws at pos-0.4 with 0.8-unit rects)
+    centers = jnp.concatenate(
+        [level.obst_pos, level.target_pos, states.enemy_pos,
+         level.goal_pos[:, None, :]], axis=1,
+    )  # [N, 3M+1, 2]
+    var = jnp.concatenate([
+        jnp.full((N, M), 0, jnp.int32),
+        jnp.full((N, M), 1, jnp.int32),
+        jnp.full((N, M), 2, jnp.int32),
+        jnp.full((N, 1), 3, jnp.int32),
+    ], axis=1)
+    alives = jnp.concatenate([
+        level.obst_exists, states.target_alive, level.enemy_exists,
+        jnp.ones((N, 1), bool),
+    ], axis=1)
+    img = blend(img, banks["obj"], var, centers, alives=alives)
+
+    # bullets / explosions (rotation-quantized laser variants)
+    window = jax.vmap(_ring_window)(states.next_bullet, states.num_bullets)
+    frame = states.b_frame
+    is_live = window & (frame == 0.0)
+    is_expl = window & (frame >= 1.0)
+    brot = states.b_rot + jnp.pi * 0.5
+    bbin = jnp.mod(
+        jnp.round(brot / (2 * jnp.pi / BULLET_ROT_BINS)).astype(jnp.int32),
+        BULLET_ROT_BINS,
+    )
+    bvar = jnp.where(
+        is_live, bbin,
+        BULLET_ROT_BINS + jnp.clip(frame.astype(jnp.int32) - 1, 0, 4),
+    )
+    img = blend(img, banks["bullet"], bvar, states.b_pos,
+                alives=is_live | is_expl)
+
+    # ship (rotated +90deg like the reference draw)
+    srot = states.rot + jnp.pi * 0.5
+    sbin2 = jnp.mod(
+        jnp.round(srot / (2 * jnp.pi / SHIP_ROT_BINS)).astype(jnp.int32),
+        SHIP_ROT_BINS,
+    )
+    # draw offset (-0.464, -0.352) vs half-size (0.464, 0.3515): center=pos
+    img = blend(img, banks["ship"], sbin2[:, None], states.pos[:, None, :])
+
+    obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    return jnp.transpose(obs, (0, 2, 3, 1))

@@ -18,6 +18,7 @@ rect through `where`-selects. All scalar math, vmapped over the env batch.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 NONE, FULL, DOWN_ONLY = 0, 1, 2
 
@@ -43,23 +44,61 @@ def aabb_overlap(ax, ay, aw, ah, bx, by):
     return ox, oy, ow, oh
 
 
+def _window_types(grid, coll_lut, lx, ly, oob_id):
+    """Collision types of the 3x3 tile window at (lx, ly), prefetched
+    with one pair of one-hot contractions instead of 9 scalar gathers.
+
+    The grid never changes during a resolve (only the rect moves), so the
+    window values are loop constants; fetching them as matmuls keeps the
+    resolver off the scalar-gather path (~4x faster step loops). The LUT
+    is applied arithmetically (tile-id equality masks) — no gathers at
+    all. Returns a python list [dy][dx] of int32 collision types.
+    """
+    H, W = grid.shape
+    d3 = jnp.arange(_WINDOW)
+    ys = ly + d3
+    xs = lx + d3
+    # one-hot contraction fetch (no gathers — vmapped gathers are the
+    # slow TPU path); grid ids are small ints, exact in bf16
+    ohy = (jnp.arange(H)[None, :] == ys[:, None]).astype(jnp.bfloat16)
+    ohx = (jnp.arange(W)[None, :] == xs[:, None]).astype(jnp.bfloat16)
+    rows = ohy @ grid.astype(jnp.bfloat16)  # [3, W]
+    vals = jnp.round(jnp.einsum("iw,jw->ij", rows, ohx)).astype(jnp.int32)
+    inb = ((ys >= 0) & (ys < H))[:, None] & ((xs >= 0) & (xs < W))[None, :]
+    vals = jnp.where(inb, vals, oob_id)
+    if isinstance(coll_lut, (list, tuple)):
+        lut = list(coll_lut)
+    elif isinstance(coll_lut, np.ndarray):
+        lut = coll_lut.tolist()
+    else:
+        lut = None
+    if lut is None:  # traced LUT: fall back to one small gather
+        t = jnp.asarray(coll_lut)[vals]
+    else:  # static LUT: equality masks, no gather at all
+        t = jnp.zeros_like(vals)
+        for tile_id, ctype in enumerate(lut):
+            if ctype != NONE:
+                t = jnp.where(vals == tile_id, ctype, t)
+    return [[t[dy, dx] for dx in range(_WINDOW)] for dy in range(_WINDOW)]
+
+
 def resolve_tile_collisions(
     grid, coll_lut, x, y, w, h, oob_id, fallthrough=False, step_y=0.0
 ):
     """Returns (new_x, new_y, collided) for rect (x, y, w, h) in render units.
 
-    `coll_lut`: int32[num_tile_ids] mapping tile id -> NONE/FULL/DOWN_ONLY.
+    `coll_lut`: static int sequence mapping tile id -> NONE/FULL/DOWN_ONLY.
     `fallthrough`/`step_y`: one-way platform control (tilemap.cpp:352-360).
     Window bounds and the rect center are captured once up-front, exactly as
     the reference does (tilemap.cpp:326-331).
     """
-    coll_lut = jnp.asarray(coll_lut)
     lx = jnp.floor(x).astype(jnp.int32)
     ly = jnp.floor(y).astype(jnp.int32)
     ux = jnp.ceil(x + w).astype(jnp.int32)
     uy = jnp.ceil(y + h).astype(jnp.int32)
     cx = x + w * 0.5
     cy = y + h * 0.5
+    types = _window_types(grid, coll_lut, lx, ly, oob_id)
 
     fallthrough = jnp.asarray(fallthrough)
     step_y = jnp.asarray(step_y, jnp.float32)
@@ -73,7 +112,7 @@ def resolve_tile_collisions(
             tx = lx + dx
             ty = ly + dy
             valid = (tx <= ux) & (ty <= uy)
-            t = coll_lut[tile_at(grid, tx, ty, oob_id)]
+            t = types[dy][dx]
             txf = tx.astype(jnp.float32)
             tyf = ty.astype(jnp.float32)
             ox, oy, ow, oh = aabb_overlap(x, ry, w, h, txf, tyf)
@@ -97,7 +136,7 @@ def resolve_tile_collisions(
             tx = lx + dx
             ty = ly + dy
             valid = (tx <= ux) & (ty <= uy)
-            t = coll_lut[tile_at(grid, tx, ty, oob_id)]
+            t = types[dy][dx]
             txf = tx.astype(jnp.float32)
             tyf = ty.astype(jnp.float32)
             ox, oy, ow, oh = aabb_overlap(rx, ry, w, h, txf, tyf)
@@ -111,3 +150,38 @@ def resolve_tile_collisions(
             collided = collided | hit
 
     return rx, ry, collided
+
+
+def probe_any_solid(solid, x, y, w, h, oob_solid=True):
+    """Does each rect overlap any solid tile? Vectorized over [K] rects.
+
+    For small rects (w, h < 1) only the 4 corner tiles can overlap, so
+    collision reduces to 4 lookups — done as one one-hot contraction
+    pair for all K rects, keeping bullet/mob wall probes off the
+    per-probe resolver path (caveflyer fires 32 of these per sub-step,
+    common_systems.cpp:216-280). Matches the reference resolver's
+    `collided` output for such rects: either pass hits iff some solid
+    tile strictly overlaps the original rect.
+
+    solid: bool [H, W] (render coords); x, y, w, h: f32 [K].
+    Returns bool [K].
+    """
+    H, W = solid.shape
+    # Overlap-interval masks per axis (strict overlap, ow/oh > 0 — the
+    # resolver's hit test): ovx[k, tx] / ovy[k, ty]. The solid-overlap
+    # count is then (ovy @ solid) . ovx — two MXU contractions for all K
+    # probes with zero gathers (vmapped gathers are the slow TPU path).
+    tiles_x = jnp.arange(W, dtype=jnp.float32)
+    tiles_y = jnp.arange(H, dtype=jnp.float32)
+    ovx = ((x[:, None] < tiles_x + 1.0)
+           & (x[:, None] + w[:, None] > tiles_x)).astype(jnp.bfloat16)
+    ovy = ((y[:, None] < tiles_y + 1.0)
+           & (y[:, None] + h[:, None] > tiles_y)).astype(jnp.bfloat16)
+    rows = ovy @ solid.astype(jnp.bfloat16)  # [K, W]
+    count = jnp.einsum("kw,kw->k", rows, ovx)
+    hit = count > 0.5
+    if oob_solid:
+        # any strict overlap beyond the map edge counts as a wall hit
+        oob = (x < 0.0) | (x + w > W) | (y < 0.0) | (y + h > H)
+        hit = hit | oob
+    return hit

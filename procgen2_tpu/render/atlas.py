@@ -829,3 +829,48 @@ def build_backgrounds(kind: str, n: int) -> np.ndarray:
             raise ValueError(f"unknown background kind {kind!r}")
         out[i] = np.clip(np.round(img * 255), 0, 255).astype(np.uint8)
     return out
+
+
+def rasterize_patch(name: str, w_px: float, h_px: float, rot: float = 0.0,
+                    patch: int = 8, flip_x: bool = False) -> np.ndarray:
+    """Pre-rasterize a sprite to a P x P pixel patch (uint8 [P, P, 4]).
+
+    Nearest-neighbor sampling of the registered sprite scaled to
+    (w_px, h_px) screen pixels, optionally rotated by `rot` radians
+    (screen-clockwise, matching SDL_RenderTextureRotated's positive
+    angles — games/caveflyer/renderer.cpp:84-101). The sprite quad is
+    centered in the patch so a rotated quad's overhang stays inside.
+    Used by compositor.stamps_from_pixel_bank: rotation becomes a
+    variant index instead of a per-pixel gather.
+    """
+    src = _to_u8(_REGISTRY[name]()).astype(np.float32)
+    P = patch
+    out = np.zeros((P, P, 4), np.float32)
+    # patch pixel centers relative to the sprite center
+    c = np.arange(P) + 0.5 - P / 2
+    px, py = np.meshgrid(c, c, indexing="xy")
+    cosr, sinr = np.cos(rot), np.sin(rot)
+    # inverse-rotate the pixel into sprite space
+    u_f = (cosr * px + sinr * py) / w_px + 0.5
+    v_f = (-sinr * px + cosr * py) / h_px + 0.5
+    inside = (u_f >= 0) & (u_f < 1) & (v_f >= 0) & (v_f < 1)
+    ui = np.clip((u_f * S).astype(np.int32), 0, S - 1)
+    if flip_x:
+        ui = S - 1 - ui
+    vi = np.clip((v_f * S).astype(np.int32), 0, S - 1)
+    out = src[vi, ui] * inside[..., None]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def build_pixel_bank(specs: Tuple[tuple, ...], patch: int = 8) -> np.ndarray:
+    """Stack rasterize_patch results: specs of (name, w_px, h_px[, rot
+    [, flip_x]]) -> uint8 [V, 4, P, P] (planar, ready for
+    stamps_from_pixel_bank)."""
+    imgs = []
+    for spec in specs:
+        name, w_px, h_px = spec[0], spec[1], spec[2]
+        rot = spec[3] if len(spec) > 3 else 0.0
+        flip = spec[4] if len(spec) > 4 else False
+        imgs.append(rasterize_patch(name, w_px, h_px, rot, patch, flip))
+    return np.stack(imgs).transpose(0, 3, 1, 2)

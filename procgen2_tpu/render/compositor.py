@@ -290,6 +290,250 @@ def draw_sprites(img, atlas_p, sids, xs, ys, ws, hs, wx, wy, flips=None,
     return jax.lax.fori_loop(0, K, body, img)
 
 
+def sprite_stamps(bank_p, var_idx, xs, ys, ws, hs, wx_b, wy_b,
+                  flips=None, alives=None, patch=8):
+    """Batched small-sprite compositor: K sprites x N envs as P x P stamps.
+
+    The fori_loop in `draw_sprites` materializes one full [4, OBS, OBS]
+    frame per sprite slot — ruinous for games with dozens of slots
+    (coinrun's 40 saws + 40 mobs, bossfight's 64-bullet pool). A sprite
+    only covers ~w*ppu <= P screen pixels, so instead: sample each
+    sprite's texels into a P x P *patch* (two batched one-hot matmuls
+    with the variant selection fused into the row one-hot), then place
+    all K patches into the frame with one batched placement matmul.
+    Traffic is O(N*K*P) + one full-frame output for *all* K sprites
+    together, instead of O(N*K*OBS^2).
+
+    Placement sums premultiplied contributions, which is exact alpha
+    compositing whenever stamps don't overlap on screen and a saturating
+    approximation when they do (the reference painter's order differs
+    only on overlapped translucent texels).
+
+    bank_p:  [V, 4, S, S] texture bank for this sprite class (u8/bf16)
+    var_idx: i32 [N, K] texture index into the bank
+    xs, ys:  f32 [N, K] world top-left; ws, hs: f32 [N, K] world size
+    wx_b, wy_b: f32 [N, OBS] per-env separable pixel->world maps
+    flips:   bool [N, K]; alives: bool [N, K]
+    patch:   static P (pixels); must cover max(w*ppu, h*ppu) + 1
+
+    Returns (rgbp [N, 3, OBS, OBS], a [N, 1, OBS, OBS]) premultiplied;
+    composite with  img = img * (1 - a) + rgbp * 255-scale.
+    """
+    bank_p = jnp.asarray(bank_p)
+    V = bank_p.shape[0]
+    N, K = var_idx.shape
+    P = patch
+    if alives is None:
+        alives = jnp.ones((N, K), bool)
+    if flips is None:
+        flips = jnp.zeros((N, K), bool)
+
+    # Row/col window origins: first obs row/col covering the sprite.
+    # wx/wy are affine per env (camera transform), so the step is
+    # constant along the axis.
+    def origin(w_map, pos):
+        step = w_map[:, 1] - w_map[:, 0]  # [N]
+        return jnp.ceil(
+            (pos - w_map[:, :1]) / step[:, None]
+        ).astype(jnp.int32)  # [N, K]
+
+    r0 = origin(wy_b, ys)
+    c0 = origin(wx_b, xs)
+
+    p_i = jnp.arange(P)
+    # world coords of the patch's pixel rows/cols (clip keeps the gather
+    # in-bounds; out-of-frame placement is masked by the one-hots below)
+    rows_idx = jnp.clip(r0[..., None] + p_i, 0, OBS - 1)  # [N, K, P]
+    cols_idx = jnp.clip(c0[..., None] + p_i, 0, OBS - 1)
+    wyp = jnp.take_along_axis(
+        wy_b[:, None, :].repeat(K, 1), rows_idx, axis=2
+    )  # [N, K, P]
+    wxp = jnp.take_along_axis(
+        wx_b[:, None, :].repeat(K, 1), cols_idx, axis=2
+    )
+
+    v_f = (wyp - ys[..., None]) / hs[..., None]
+    u_f = (wxp - xs[..., None]) / ws[..., None]
+    in_v = (v_f >= 0) & (v_f < 1)
+    in_u = (u_f >= 0) & (u_f < 1)
+    vi = jnp.clip((v_f * S).astype(jnp.int32), 0, S - 1)
+    ui = jnp.clip((u_f * S).astype(jnp.int32), 0, S - 1)
+    ui = jnp.where(flips[..., None], S - 1 - ui, ui)
+
+    # --- texel sampling: variant-fused row one-hot, then col one-hot ---
+    # OHVH [N, K, P, V*S]: one-hot over (variant, texel row)
+    z = var_idx[..., None] * S + vi  # [N, K, P]
+    ohvh = _onehot(z, V * S, in_v & alives[..., None])
+    # bank rows keyed by (variant, texel row): [V, 4, S(h), S(w)] ->
+    # [(V, h), (4, w)]
+    b1 = (bank_p.astype(jnp.bfloat16)
+          .transpose(0, 2, 1, 3).reshape(V * S, 4 * S))
+    rows = (ohvh.reshape(N * K * P, V * S) @ b1).reshape(N, K, P, 4, S)
+
+    ohu = _onehot(ui, S, in_u)  # [N, K, P(q), S]
+    # patch4 [N, K, 4, P(p), P(q)]
+    patch4 = jnp.einsum("nkpcw,nkqw->nkcpq", rows, ohu,
+                        preferred_element_type=jnp.bfloat16)
+
+    a_p = patch4[:, :, 3:4] * jnp.bfloat16(1 / 255.0)  # [N, K, 1, P, P]
+    prem = jnp.concatenate([patch4[:, :, :3] * a_p, a_p], axis=2)
+    return place_stamps(prem, r0, c0)
+
+
+def blend_premul(img, rgbp, a):
+    """img [N, 3, OBS, OBS] + premultiplied stamps; all bf16."""
+    return img * (1.0 - a) + rgbp
+
+
+def place_stamps(prem, r0, c0):
+    """Place per-sprite premultiplied patches into the frame.
+
+    prem: bf16 [N, K, 4, P, P] (rgb premultiplied + alpha in [0,1])
+    r0, c0: i32 [N, K] top-left obs pixel of each patch
+    Returns (rgbp [N,3,OBS,OBS], a [N,1,OBS,OBS]) as bf16 sums —
+    placement is two batched one-hot matmuls, so the full-frame cost is
+    paid once for all K sprites.
+    """
+    N, K, _, P, _ = prem.shape
+    p_i = jnp.arange(P)
+    r_iota = jnp.arange(OBS)
+    ohr = (r_iota[None, None, :, None] == (r0[..., None, None] + p_i)
+           ).astype(jnp.bfloat16)  # [N, K, OBS, P]
+    ohc = (r_iota[None, None, :, None] == (c0[..., None, None] + p_i)
+           ).astype(jnp.bfloat16)
+    T = jnp.einsum("nkrp,nkcpq->ncrkq", ohr, prem,
+                   preferred_element_type=jnp.bfloat16)
+    out = jnp.einsum("ncrkq,nkuq->ncru", T, ohc,
+                     preferred_element_type=jnp.bfloat16)
+    return out[:, :3], out[:, 3:4]
+
+
+def stamps_from_pixel_bank(pbank, var_idx, r0, c0, alives=None, alpha=None):
+    """Pixel-snapped stamps: patches pre-rasterized per variant.
+
+    For fixed-(screen)-size sprites the patch content is independent of
+    the env once positions snap to the obs pixel grid (the reference's
+    SDL software rasterizer snaps destination rects the same way), so
+    sampling collapses to one [N, K] row gather from `pbank` and the
+    full-frame cost is the shared placement matmul. Rotation is handled
+    by baking quantized rotation variants into the bank
+    (atlas.rasterize_patch), replacing the per-pixel rotated-gather path
+    that ran bossfight/caveflyer out of memory.
+
+    pbank: [V, 4, P, P] u8/bf16 pre-rasterized patches
+    var_idx: i32 [N, K]; r0/c0: i32 [N, K] top-left obs pixel
+    """
+    pbank = jnp.asarray(pbank).astype(jnp.bfloat16)
+    patch4 = pbank[var_idx]  # [N, K, 4, P, P] row gather
+    a_p = patch4[:, :, 3:4] * jnp.bfloat16(1 / 255.0)
+    if alives is not None:
+        a_p = a_p * alives[:, :, None, None, None].astype(jnp.bfloat16)
+    if alpha is not None:
+        a_p = a_p * jnp.asarray(alpha, jnp.bfloat16)[
+            :, :, None, None, None
+        ]
+    prem = jnp.concatenate([patch4[:, :, :3] * a_p, a_p], axis=2)
+    return place_stamps(prem, r0, c0)
+
+
+def draw_background_batch(bgs_p, bg_index, wx_b, wy_b,
+                          origin_x=0.0, origin_y=0.0, size_units=64.0,
+                          base=(0.0, 0.0, 0.0)):
+    """Batched draw_background for per-env (moving) cameras.
+
+    bgs_p: u8 [3, B, H, W]; bg_index: i32 [N]; wx_b/wy_b: f32 [N, OBS].
+    Returns bf16 [N, 3, OBS, OBS] (background over `base` clear color).
+    """
+    bgs_p = jnp.asarray(bgs_p)
+    _, B, H, W = bgs_p.shape
+    u = (wx_b - origin_x) / size_units  # [N, OBS]
+    v = (wy_b - origin_y) / size_units
+    in_u = (u >= 0) & (u < 1)
+    in_v = (v >= 0) & (v < 1)
+    ohu = _onehot(jnp.clip((u * W).astype(jnp.int32), 0, W - 1), W, in_u)
+    ohv = _onehot(jnp.clip((v * H).astype(jnp.int32), 0, H - 1), H, in_v)
+    tex = jnp.moveaxis(bgs_p, 1, 0)[bg_index].astype(jnp.bfloat16)  # [N,3,H,W]
+    t1 = jnp.einsum("nrh,nchw->ncrw", ohv, tex,
+                    preferred_element_type=jnp.bfloat16)
+    rgb = jnp.einsum("ncrw,nuw->ncru", t1, ohu,
+                     preferred_element_type=jnp.bfloat16)
+    a = (in_v[:, None, :, None] & in_u[:, None, None, :]).astype(jnp.bfloat16)
+    basec = jnp.asarray(base, jnp.bfloat16).reshape(1, 3, 1, 1)
+    return basec * (1.0 - a) + rgb * a
+
+
+def tile_onehots(wx_b, wy_b, H, W):
+    """Per-env tile/texel one-hot selectors for a moving camera.
+
+    Returns (ohy [N,OBS,H], ohx [N,OBS,W], ohv [N,OBS,S], ohu [N,OBS,S],
+    inb [N,OBS,OBS] bool)."""
+    tx = jnp.floor(wx_b).astype(jnp.int32)
+    ty = jnp.floor(wy_b).astype(jnp.int32)
+    in_x = (tx >= 0) & (tx < W)
+    in_y = (ty >= 0) & (ty < H)
+    ohx = _onehot(jnp.clip(tx, 0, W - 1), W)
+    ohy = _onehot(jnp.clip(ty, 0, H - 1), H)
+    ohu = _onehot(jnp.clip(((wx_b - tx) * S).astype(jnp.int32), 0, S - 1), S)
+    ohv = _onehot(jnp.clip(((wy_b - ty) * S).astype(jnp.int32), 0, S - 1), S)
+    inb = in_y[:, :, None] & in_x[:, None, :]
+    return ohy, ohx, ohv, ohu, inb
+
+
+def draw_tiles_batch(img, grids, lut, atlas_p, wx_b, wy_b, oob_tile,
+                     onehots=None, extra_layers=()):
+    """Batched tilemap layer for per-env cameras.
+
+    grids: int [N, H, W] tile ids (render coords); lut: static list of
+    atlas indices (-1 transparent); per-env camera maps wx_b/wy_b
+    [N, OBS]. All K tile-kind texel images are sampled with ONE pair of
+    batched matmuls (kinds stacked into the channel axis), then blended
+    by kind masks from the G field. `extra_layers` entries
+    (kind_id, atlas_sid) append additional kinds drawn from the same
+    grid values (used for sprites folded into the grid).
+    """
+    atlas_p = jnp.asarray(atlas_p)
+    grids = jnp.asarray(grids)
+    N, H, W = grids.shape
+    lut = list(lut)
+    K = len(lut)
+
+    ohy, ohx, ohv, ohu, inb = (
+        tile_onehots(wx_b, wy_b, H, W) if onehots is None else onehots
+    )
+
+    # tile-kind field G
+    G = jnp.einsum("nrh,nhw->nrw", ohy, grids.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)
+    G = jnp.einsum("nrw,nuw->nru", G, ohx,
+                   preferred_element_type=jnp.bfloat16)
+    G = jnp.where(inb, jnp.round(G), jnp.float32(oob_tile)).astype(jnp.int8)
+    Gi = G[:, None]  # [N, 1, OBS, OBS]
+
+    # all K kind texel images in one batched matmul pair: stack kinds
+    # into the channel axis of a shared texture block
+    sids = [max(s, 0) for s in lut] + [s for _, s in extra_layers]
+    texs = atlas_p[:, jnp.asarray(sids, jnp.int32)]  # [4, KT, S, S]
+    KT = len(sids)
+    texs = texs.transpose(1, 0, 2, 3).reshape(KT * 4, S, S).astype(jnp.bfloat16)
+    t1 = jnp.einsum("nrh,chw->ncrw", ohv, texs,
+                    preferred_element_type=jnp.bfloat16)  # [N, KT4, OBS, S]
+    sampled = jnp.einsum("ncrw,nuw->ncru", t1, ohu,
+                         preferred_element_type=jnp.bfloat16)
+    sampled = sampled.reshape(N, KT, 4, OBS, OBS)
+
+    inv = jnp.bfloat16(1 / 255.0)
+    for k in range(K):
+        if lut[k] < 0:
+            continue
+        a = (Gi == k).astype(jnp.bfloat16) * (sampled[:, k, 3:4] * inv)
+        img = img + a * (sampled[:, k, :3] - img)
+    for j, (kind_id, _sid) in enumerate(extra_layers):
+        kk = K + j
+        a = (Gi == kind_id).astype(jnp.bfloat16) * (sampled[:, kk, 3:4] * inv)
+        img = img + a * (sampled[:, kk, :3] - img)
+    return img
+
+
 def finalize(img):
     """Planar bf16 [4, OBS, OBS] in [0,255] -> uint8 HWC observation.
 
