@@ -270,10 +270,19 @@ def reset(cfg: Config, level: Level, key) -> State:
 
 def _wall_at(wall, cx, ry):
     """Wall test at render (col, row); OOB reads are walls for movement
-    purposes (tilemap get() returns out_of_bounds, which != empty)."""
+    purposes (tilemap get() returns out_of_bounds, which != empty).
+
+    `cx`/`ry` may carry leading dims (stacked probes). The lookup is an
+    elementwise one-hot reduce over the small grid — vmapped gathers are
+    the slow TPU path, and D <= 19 makes the dense form ~free.
+    """
     D = wall.shape[0]
+    ohr = jnp.arange(D) == ry[..., None]
+    ohc = jnp.arange(D) == cx[..., None]
+    m = ohr[..., :, None] & ohc[..., None, :]
+    val = jnp.any(m & wall, axis=(-2, -1))
     inb = (cx >= 0) & (cx < D) & (ry >= 0) & (ry < D)
-    return jnp.where(inb, wall[jnp.clip(ry, 0, D - 1), jnp.clip(cx, 0, D - 1)], True)
+    return jnp.where(inb, val, True)
 
 
 def _sign(x):
@@ -433,21 +442,19 @@ def _collect_points(level, point_grid, orb_taken, agent_pos):
     """
     D = point_grid.shape[0]
     ax, ay = agent_pos[0], agent_pos[1]
-    # Pellets: only the 3x3 cell window around the agent can overlap
-    cx = ax.astype(jnp.int32)
-    cy = ay.astype(jnp.int32)
-    delta = jnp.int32(0)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            tx = jnp.clip(cx + dx, 0, D - 1)
-            ty = jnp.clip(cy + dy, 0, D - 1)
-            hit = (
-                point_grid[ty, tx]
-                & (jnp.abs(ax - (tx + 0.5)) < 0.8)
-                & (jnp.abs(ay - (ty + 0.5)) < 0.8)
-            )
-            delta = delta + hit.astype(jnp.int32)
-            point_grid = point_grid.at[ty, tx].set(point_grid[ty, tx] & ~hit)
+    # Pellets (0.6 pellet vs 1.0 agent boxes -> |center delta| < 0.8):
+    # the overlap window only ever covers the 3x3 cells around the
+    # agent, so the dense whole-grid test is exactly the reference's
+    # per-cell loop — and it is elementwise (no gathers/scatters).
+    txs = jnp.arange(D, dtype=jnp.float32)[None, :]  # columns
+    tys = jnp.arange(D, dtype=jnp.float32)[:, None]  # rows
+    hits = (
+        point_grid
+        & (jnp.abs(ax - (txs + 0.5)) < 0.8)
+        & (jnp.abs(ay - (tys + 0.5)) < 0.8)
+    )
+    delta = hits.sum().astype(jnp.int32)
+    point_grid = point_grid & ~hits
 
     orb_hit = (
         level.orb_exists & ~orb_taken
@@ -585,3 +592,114 @@ def obs_space(cfg: Config):
 
 def action_space(cfg: Config):
     return spaces.MultiDiscrete((NUM_ACTIONS,))
+
+
+# ---------------------------------------------------------------------------
+# Batched fast renderer: fixed camera, kind-field tiles, enemy stamps
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _stamp_banks(ppu: float):
+    """Pixel-snapped stamps for the moving entities (enemies + agent):
+    variants = egg, walker_flee, flyer 0..5 cycle, floater."""
+    A = atlas_lib
+    names = ["egg_spikey", "walker_flee", "flyer0", "flyer1", "flyer2",
+             "flyer2", "flyer1", "flyer0", "floater"]
+    return A.build_pixel_bank(
+        tuple((n, ppu, ppu) for n in names), patch=int(ppu) + 3
+    )
+
+
+def observe_batch(cfg: Config, states: State):
+    A = _assets()
+    level = states.level
+    D = cfg.world_dim
+    N = states.pos.shape[0]
+    ppu = C.OBS / D
+    center = jnp.float32(D / 2.0)
+    wx, wy = C.camera_coords(ppu, center, center)
+
+    # --- shared pieces (fixed camera: maze-style kind compositing) ---
+    tx = jnp.floor(wx).astype(jnp.int32)
+    ty = jnp.floor(wy).astype(jnp.int32)
+    ohx = C._onehot(jnp.clip(tx, 0, D - 1), D)
+    ohy = C._onehot(jnp.clip(ty, 0, D - 1), D)
+    ohu = C._onehot(
+        jnp.clip(((wx - tx) * C.S).astype(jnp.int32), 0, C.S - 1), C.S)
+    ohv = C._onehot(
+        jnp.clip(((wy - ty) * C.S).astype(jnp.int32), 0, C.S - 1), C.S)
+    atlas_j = jnp.asarray(A["atlas_p"])
+    wall_img = C._sep_sample(atlas_j[:, A["idx"]["stone_wall"]], ohv, ohu)
+    pellet_img = C._sep_sample(atlas_j[:, A["idx"]["chaser_point"]], ohv, ohu)
+    orb_img = C._sep_sample(atlas_j[:, A["idx"]["crystal"]], ohv, ohu)
+
+    # pre-sampled background bank (spans 64 units from the origin)
+    H = W = atlas_lib.BG_SIZE
+    ub = wx / 64.0
+    ohu_b = C._onehot(jnp.clip((ub * W).astype(jnp.int32), 0, W - 1),
+                      W, (ub >= 0) & (ub < 1))
+    ohv_b = C._onehot(jnp.clip((ub * H).astype(jnp.int32), 0, H - 1),
+                      H, (ub >= 0) & (ub < 1))
+    bgs_j = jnp.asarray(A["bgs_p"])
+    bg_bank = jnp.clip(jnp.round(jax.vmap(
+        lambda b: C._sep_sample(bgs_j[:, b], ohv_b, ohu_b)
+    )(jnp.arange(bgs_j.shape[1]))), 0, 255).astype(jnp.uint8)
+
+    # --- per-env kind grid: 0 empty, 1 wall, 2 pellet, 3 live orb ---
+    rows = jnp.arange(D)[:, None]
+    cols = jnp.arange(D)[None, :]
+    orb_r = jnp.floor(level.orb_pos[..., 1]).astype(jnp.int32)  # [N, 8]
+    orb_c = jnp.floor(level.orb_pos[..., 0]).astype(jnp.int32)
+    orb_live = level.orb_exists & ~states.orb_taken
+    orb_mask = (
+        (orb_r[:, :, None, None] == rows) & (orb_c[:, :, None, None] == cols)
+        & orb_live[:, :, None, None]
+    ).any(axis=1)  # [N, D, D]
+    aug = (
+        level.wall.astype(jnp.int8)
+        + states.point_grid * jnp.int8(2)
+        + orb_mask * jnp.int8(3)
+    )
+    G = jnp.einsum("rh,nhw->nrw", ohy, aug.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)
+    G = jnp.einsum("nrw,uw->nru", G, ohx,
+                   preferred_element_type=jnp.bfloat16)
+    Gi = jnp.round(G).astype(jnp.int8)[:, None]
+
+    inv = jnp.bfloat16(1 / 255.0)
+    img = bg_bank[level.bg_index.astype(jnp.int32)].astype(jnp.bfloat16)
+
+    def blend(img, mask, kimg):
+        a = mask.astype(jnp.bfloat16) * (kimg[3][None, None] * inv)
+        return img + a * (kimg[:3][None] - img)
+
+    img = blend(img, Gi == 1, wall_img)
+    img = blend(img, Gi == 2, pellet_img)
+    img = blend(img, Gi == 3, orb_img)
+
+    # --- moving stamps: enemies (egg/flyer/flee) + agent ---
+    bank = _stamp_banks(ppu)
+    P = bank.shape[-1]
+    hatched = states.hatch_timer >= HATCH_TIME
+    flee = states.eat_timer[:, None] > 0.0
+    var = jnp.where(
+        hatched,
+        jnp.where(flee, 1, 2 + states.anim_index[:, None]),
+        0,
+    ).astype(jnp.int32)
+    centers = jnp.concatenate(
+        [states.mob_pos, states.pos[:, None, :]], axis=1)
+    vars_ = jnp.concatenate([var, jnp.full((N, 1), 8, jnp.int32)], axis=1)
+    alives = jnp.concatenate(
+        [level.egg_exists, jnp.ones((N, 1), bool)], axis=1)
+    r0 = jnp.round(
+        (centers[..., 1] - center) * ppu + C.OBS / 2 - P / 2
+    ).astype(jnp.int32)
+    c0 = jnp.round(
+        (centers[..., 0] - center) * ppu + C.OBS / 2 - P / 2
+    ).astype(jnp.int32)
+    rgbp, a = C.stamps_from_pixel_bank(bank, vars_, r0, c0, alives=alives)
+    img = C.blend_premul(img, rgbp, a)
+
+    obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    return jnp.transpose(obs, (0, 2, 3, 1))

@@ -32,7 +32,10 @@ import numpy as np
 from flax import struct
 
 from ..core import spaces
-from ..physics.tiles import resolve_tile_collisions, NONE, FULL, DOWN_ONLY
+from ..physics.tiles import (
+    fetch_window_rows, resolve_from_rows, resolve_tile_collisions,
+    NONE, FULL, DOWN_ONLY,
+)
 from ..physics.aabb import check_collision
 from ..render import atlas as atlas_lib
 from ..render import compositor as C
@@ -411,25 +414,25 @@ def reset(cfg: Config, level: Level, key) -> State:
 # Step (coinrun.cpp:341-391)
 # ---------------------------------------------------------------------------
 
-def _mob_substep(grid, mob_pos, mob_vx, alive, active):
-    """System_Mob_AI::update (common_systems.cpp:65-105)."""
+def _mob_substep(rows_wall, rows_ledge, mob_pos, mob_vx, alive, active):
+    """System_Mob_AI::update (common_systems.cpp:65-105).
 
-    def one(p, vx):
-        x = p[0] + vx * DT
-        y = p[1]
-        # wall sensor: full vs walls
-        wx, wy, wcol = resolve_tile_collisions(
-            grid, _LUT_WALL, x - 0.5, y - 0.6, 1.0, 0.5, WALL_MID
-        )
-        # floor (ledge) sensor: "collides with empty"
-        fx, fy, fcol = resolve_tile_collisions(
-            grid, _LUT_EMPTY, x - 0.5, y + 0.6, 1.0, 0.5, WALL_MID
-        )
-        new_x = jnp.where(fcol, fx + 0.5, wx + 0.5)
-        new_vx = jnp.where(wcol | fcol, -vx, vx)
-        return jnp.stack([new_x, y]), new_vx
-
-    new_pos, new_vx = jax.vmap(one)(mob_pos, mob_vx)
+    Mob y never changes, so the sensors' window rows are prefetched once
+    per env step (see step()); each sub-step resolve is an elementwise
+    column selection over those rows."""
+    x = mob_pos[:, 0] + mob_vx * DT
+    y = mob_pos[:, 1]
+    # wall sensor: full vs walls
+    wx, _, wcol = resolve_from_rows(
+        rows_wall, _LUT_WALL, x - 0.5, y - 0.6, 1.0, 0.5, WORLD, WALL_MID
+    )
+    # floor (ledge) sensor: "collides with empty"
+    fx, _, fcol = resolve_from_rows(
+        rows_ledge, _LUT_EMPTY, x - 0.5, y + 0.6, 1.0, 0.5, WORLD, WALL_MID
+    )
+    new_x = jnp.where(fcol, fx + 0.5, wx + 0.5)
+    new_vx = jnp.where(wcol | fcol, -mob_vx, mob_vx)
+    new_pos = jnp.stack([new_x, y], axis=-1)
     upd = (alive & active)[:, None]
     return (
         jnp.where(upd, new_pos, mob_pos),
@@ -514,10 +517,19 @@ def step(cfg: Config, state: State, action):
     done = jnp.bool_(False)
     reward = jnp.float32(0.0)
 
+    # Mob sensor rows: y is constant all step, so fetch both sensors'
+    # 3-row windows once (a single contraction) instead of per sub-step
+    rows_wall = fetch_window_rows(
+        level.grid, jnp.floor(mob_pos[:, 1] - 0.6).astype(jnp.int32), WALL_MID
+    )
+    rows_ledge = fetch_window_rows(
+        level.grid, jnp.floor(mob_pos[:, 1] + 0.6).astype(jnp.int32), WALL_MID
+    )
+
     for _ in range(SUB_STEPS):  # sub-step loop with early exit via masking,
         #                          coinrun.cpp:357-371
         active = ~done
-        mob_pos, mob_vx = _mob_substep(level.grid, mob_pos, mob_vx,
+        mob_pos, mob_vx = _mob_substep(rows_wall, rows_ledge, mob_pos, mob_vx,
                                        level.mob_alive, active)
         (n_pos, n_vel, n_og, n_ff, dead, achieved) = _agent_substep(
             cfg, level, pos, vel, on_ground, face_forward, a
@@ -621,3 +633,169 @@ def obs_space(cfg: Config):
 
 def action_space(cfg: Config):
     return spaces.MultiDiscrete((NUM_ACTIONS,))
+
+
+# ---------------------------------------------------------------------------
+# Batched fast renderer: per-env camera, themed tile stack, culled stamps
+# ---------------------------------------------------------------------------
+
+MOB_CULL = 12  # visible window is ~13.3 units of a 64-unit map; pits hold
+SAW_CULL = 12  # at most max_dx=7 contiguous saws/mobs
+
+
+@functools.lru_cache(maxsize=None)
+def _stamp_banks():
+    """Pixel-snapped patch banks (compositor.stamps_from_pixel_bank)."""
+    A = atlas_lib
+    u = PPU  # 1 world unit in obs pixels (4.8)
+    specs = [("saw", u, u), ("saw_move", u, u), ("coin", u, u)]
+    for e in A.WALKING_ENEMIES:
+        for f in (e, f"{e}_move"):
+            specs.append((f, u, u))
+            specs.append((f, u, u, 0.0, True))  # flipped
+    moving = A.build_pixel_bank(tuple(specs), patch=8)
+    aspecs = []
+    for th in A.AGENT_THEMES:
+        for k in ("stand", "jump", "walk1", "walk2"):
+            aspecs.append((f"alien_{th}_{k}", u, 2 * u))
+            aspecs.append((f"alien_{th}_{k}", u, 2 * u, 0.0, True))
+    agent = A.build_pixel_bank(tuple(aspecs), patch=12)
+    return dict(moving=moving, agent=agent)
+
+
+def _cull(oh_none, cam_x, pos, alive, k):
+    """Top-k alive entities nearest the camera in x; returns a one-hot
+    selector [N, k, M] (matmul-based select — no vmapped gathers)."""
+    score = jnp.where(alive, -jnp.abs(pos[..., 0] - cam_x[:, None]), -1e30)
+    _, ids = jax.lax.top_k(score, k)
+    M = pos.shape[1]
+    return (ids[..., None] == jnp.arange(M)).astype(jnp.bfloat16)
+
+
+def observe_batch(cfg: Config, states: State):
+    A = _assets()
+    banks = _stamp_banks()
+    level = states.level
+    N = states.pos.shape[0]
+    cam_x = states.pos[:, 0]
+    cam_y = states.pos[:, 1] - 0.5  # common_systems.cpp:238-239
+
+    c = jnp.arange(C.OBS, dtype=jnp.float32) + 0.5 - C.OBS / 2
+    wx_b = cam_x[:, None] + c[None, :] / PPU
+    wy_b = cam_y[:, None] + c[None, :] / PPU
+
+    img = C.draw_background_batch(
+        jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32), wx_b, wy_b
+    )
+
+    # ---- tile stack: main grid (themed walls + lava) and crate layer ----
+    ohy, ohx, ohv, ohu, inb = C.tile_onehots(wx_b, wy_b, WORLD, WORLD)
+
+    def field(grids, oob):
+        G = jnp.einsum("nrh,nhw->nrw", ohy, grids.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.bfloat16)
+        G = jnp.einsum("nrw,nuw->nru", G, ohx,
+                       preferred_element_type=jnp.bfloat16)
+        return jnp.where(inb, jnp.round(G),
+                         jnp.float32(oob)).astype(jnp.int8)[:, None]
+
+    G = field(level.grid, WALL_MID)
+    crate_layer = jnp.where(
+        level.grid == CRATE, level.crate_variant, jnp.int8(-1)
+    )
+    GC = field(crate_layer, -1)
+
+    atlas_s = jnp.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)  # [A, 4, S, S]
+    tl = jnp.asarray(A["tile_lut"])  # [themes, ids]
+    th = level.theme.astype(jnp.int32)
+
+    # themed kinds (per-env texture row gathers), sampled per env
+    themed = jnp.stack(
+        [atlas_s[tl[th, WALL_TOP]], atlas_s[tl[th, WALL_MID]]], axis=1
+    ).astype(jnp.bfloat16)  # [N, 2, 4, S, S]
+    t1 = jnp.einsum("nrh,nkchw->nkcrw", ohv, themed,
+                    preferred_element_type=jnp.bfloat16)
+    themed_img = jnp.einsum("nkcrw,nuw->nkcru", t1, ohu,
+                            preferred_element_type=jnp.bfloat16)
+
+    # shared kinds: lava pair + 4 crate types
+    shared_sids = [A["idx"]["lava_top"], A["idx"]["lava_mid"]] + list(
+        np.asarray(A["crate_lut"])
+    )
+    shared = atlas_s[jnp.asarray(shared_sids)].astype(jnp.bfloat16)
+    s1 = jnp.einsum("nrh,kchw->nkcrw", ohv, shared,
+                    preferred_element_type=jnp.bfloat16)
+    shared_img = jnp.einsum("nkcrw,nuw->nkcru", s1, ohu,
+                            preferred_element_type=jnp.bfloat16)
+
+    inv = jnp.bfloat16(1 / 255.0)
+
+    def blend_kind(img, mask, kimg):
+        a = mask.astype(jnp.bfloat16) * (kimg[:, 3:4] * inv)
+        return img + a * (kimg[:, :3] - img)
+
+    img = blend_kind(img, G == WALL_TOP, themed_img[:, 0])
+    img = blend_kind(img, G == WALL_MID, themed_img[:, 1])
+    img = blend_kind(img, G == LAVA_TOP, shared_img[:, 0])
+    img = blend_kind(img, G == LAVA_MID, shared_img[:, 1])
+    for v in range(4):
+        img = blend_kind(img, (G == CRATE) & (GC == v), shared_img[:, 2 + v])
+
+    # ---- moving stamps: saws + coin + culled mobs ----
+    def pix(centers, P):
+        px = (centers[..., 0] - cam_x[:, None]) * PPU + C.OBS / 2
+        py = (centers[..., 1] - cam_y[:, None]) * PPU + C.OBS / 2
+        return (jnp.round(py - P / 2).astype(jnp.int32),
+                jnp.round(px - P / 2).astype(jnp.int32))
+
+    oh_saw = _cull(None, cam_x, level.saw_pos, level.saw_alive, SAW_CULL)
+    saw_pos = jnp.einsum("nkm,nmc->nkc", oh_saw, level.saw_pos)
+    saw_alive = jnp.einsum(
+        "nkm,nm->nk", oh_saw, level.saw_alive.astype(jnp.bfloat16)) > 0.5
+
+    oh_mob = _cull(None, cam_x, states.mob_pos, level.mob_alive, MOB_CULL)
+    mob_pos = jnp.einsum("nkm,nmc->nkc", oh_mob, states.mob_pos)
+    mob_alive = jnp.einsum(
+        "nkm,nm->nk", oh_mob, level.mob_alive.astype(jnp.bfloat16)) > 0.5
+    mob_kind = jnp.round(jnp.einsum(
+        "nkm,nm->nk", oh_mob, level.mob_variant.astype(jnp.bfloat16))
+    ).astype(jnp.int32)
+    mob_flip = jnp.einsum(
+        "nkm,nm->nk", oh_mob,
+        (states.mob_vx > 0.0).astype(jnp.bfloat16)) > 0.5
+
+    saw_frame = (states.t % 2).astype(jnp.int32)  # anim rate 1.0
+    mob_frame = ((states.t // 5) % 2).astype(jnp.int32)  # anim rate 0.2
+    saw_var = jnp.broadcast_to(saw_frame[:, None], saw_pos.shape[:2])
+    coin_var = jnp.full((N, 1), 2, jnp.int32)
+    mob_var = 3 + mob_kind * 4 + mob_frame[:, None] * 2 + mob_flip
+
+    centers = jnp.concatenate(
+        [saw_pos, level.coin_pos[:, None, :], mob_pos], axis=1
+    )
+    vars_ = jnp.concatenate([saw_var, coin_var, mob_var], axis=1)
+    alives = jnp.concatenate(
+        [saw_alive, jnp.ones((N, 1), bool), mob_alive], axis=1
+    )
+    r0, c0 = pix(centers, 8)
+    rgbp, a = C.stamps_from_pixel_bank(banks["moving"], vars_, r0, c0,
+                                       alives=alives)
+    img = C.blend_premul(img, rgbp, a)
+
+    # ---- agent (1x2 units; center is pos - (0, 1)) ----
+    pose = jnp.where(
+        ~states.on_ground, 1,
+        jnp.where(jnp.abs(states.vel[:, 0]) < 0.01, 0,
+                  jnp.where(states.anim_t > 0.5, 3, 2)),
+    ).astype(jnp.int32)
+    avar = (level.agent_theme.astype(jnp.int32) * 8 + pose * 2
+            + (~states.face_forward).astype(jnp.int32))[:, None]
+    acenter = jnp.stack(
+        [states.pos[:, 0], states.pos[:, 1] - 1.0], axis=-1
+    )[:, None, :]
+    r0, c0 = pix(acenter, 12)
+    rgbp, a = C.stamps_from_pixel_bank(banks["agent"], avar, r0, c0)
+    img = C.blend_premul(img, rgbp, a)
+
+    obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    return jnp.transpose(obs, (0, 2, 3, 1))

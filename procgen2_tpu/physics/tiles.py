@@ -50,22 +50,39 @@ def _window_types(grid, coll_lut, lx, ly, oob_id):
 
     The grid never changes during a resolve (only the rect moves), so the
     window values are loop constants; fetching them as matmuls keeps the
-    resolver off the scalar-gather path (~4x faster step loops). The LUT
-    is applied arithmetically (tile-id equality masks) — no gathers at
-    all. Returns a python list [dy][dx] of int32 collision types.
+    resolver off the scalar-gather path (vmapped gathers are the slow TPU
+    path). The LUT is applied arithmetically (tile-id equality masks) —
+    no gathers at all. `lx`/`ly` may carry leading batch dims (e.g. [K]
+    probes resolved together — coinrun's 40 mob sensors become one
+    matmul pair instead of 40 resolver calls). Returns a python list
+    [dy][dx] of int32 collision types with those batch dims.
     """
     H, W = grid.shape
     d3 = jnp.arange(_WINDOW)
-    ys = ly + d3
-    xs = lx + d3
-    # one-hot contraction fetch (no gathers — vmapped gathers are the
-    # slow TPU path); grid ids are small ints, exact in bf16
-    ohy = (jnp.arange(H)[None, :] == ys[:, None]).astype(jnp.bfloat16)
-    ohx = (jnp.arange(W)[None, :] == xs[:, None]).astype(jnp.bfloat16)
-    rows = ohy @ grid.astype(jnp.bfloat16)  # [3, W]
-    vals = jnp.round(jnp.einsum("iw,jw->ij", rows, ohx)).astype(jnp.int32)
-    inb = ((ys >= 0) & (ys < H))[:, None] & ((xs >= 0) & (xs < W))[None, :]
+    ys = ly[..., None] + d3  # [..., 3]
+    xs = lx[..., None] + d3
+    # Row select + column select as broadcast multiply-reduces on the
+    # VPU. A dot here would become one tiny fill-bound MXU matmul per
+    # env (batched [3,H]@[H,W] — ~500 cycles of pipeline fill for ~60
+    # cycles of work); the elementwise form streams instead.
+    ohy = (jnp.arange(H) == ys[..., None])  # [..., 3, H] bool
+    rows = jnp.sum(
+        jnp.where(ohy[..., None], grid[..., None, :, :].astype(jnp.int32), 0),
+        axis=-2,
+    )  # [..., 3, W]
+    ohx = (jnp.arange(W) == xs[..., None])  # [..., 3, W]
+    vals = jnp.sum(
+        jnp.where(ohx[..., None, :, :], rows[..., :, None, :], 0), axis=-1
+    )  # [..., 3(dy), 3(dx)]
+    inb = (((ys >= 0) & (ys < H))[..., :, None]
+           & ((xs >= 0) & (xs < W))[..., None, :])
     vals = jnp.where(inb, vals, oob_id)
+    return _apply_lut(vals, coll_lut)
+
+
+def _apply_lut(vals, coll_lut):
+    """Tile ids [..., 3, 3] -> collision types, arithmetically when the
+    LUT is static (no gathers). Returns list [dy][dx] of arrays."""
     if isinstance(coll_lut, (list, tuple)):
         lut = list(coll_lut)
     elif isinstance(coll_lut, np.ndarray):
@@ -79,7 +96,8 @@ def _window_types(grid, coll_lut, lx, ly, oob_id):
         for tile_id, ctype in enumerate(lut):
             if ctype != NONE:
                 t = jnp.where(vals == tile_id, ctype, t)
-    return [[t[dy, dx] for dx in range(_WINDOW)] for dy in range(_WINDOW)]
+    return [[t[..., dy, dx] for dx in range(_WINDOW)]
+            for dy in range(_WINDOW)]
 
 
 def resolve_tile_collisions(
@@ -91,14 +109,63 @@ def resolve_tile_collisions(
     `fallthrough`/`step_y`: one-way platform control (tilemap.cpp:352-360).
     Window bounds and the rect center are captured once up-front, exactly as
     the reference does (tilemap.cpp:326-331).
+
+    `x`/`y` (and `w`/`h`/`fallthrough`/`step_y`, broadcasting) may carry
+    leading batch dims: K probe rects resolve together sharing one
+    window-fetch contraction — the fast path for per-entity sensors.
     """
     lx = jnp.floor(x).astype(jnp.int32)
     ly = jnp.floor(y).astype(jnp.int32)
+    types = _window_types(grid, coll_lut, lx, ly, oob_id)
+    return _resolve_core(types, lx, ly, x, y, w, h, fallthrough, step_y)
+
+
+def resolve_from_rows(rows, coll_lut, x, y, w, h, W, oob_id,
+                      fallthrough=False, step_y=0.0):
+    """resolve_tile_collisions for probes whose 3 window *rows* were
+    prefetched (`rows` [..., 3, W] int tile values with row-OOB already
+    folded to `oob_id`).
+
+    For entities that keep a constant y within a step (coinrun/climber
+    patrol mobs), the row fetch happens once per step as a single
+    batched contraction, and each sub-step resolve reduces to an
+    elementwise column selection here — no per-probe grid reads at all.
+    """
+    lx = jnp.floor(x).astype(jnp.int32)
+    ly = jnp.floor(y).astype(jnp.int32)
+    d3 = jnp.arange(_WINDOW)
+    xs = lx[..., None] + d3
+    ohx = (jnp.arange(W) == xs[..., None])  # [..., 3(dx), W]
+    vals = jnp.sum(
+        jnp.where(ohx[..., None, :, :], rows[..., :, None, :], 0), axis=-1
+    )  # [..., 3(dy), 3(dx)]
+    inx = ((xs >= 0) & (xs < W))[..., None, :]
+    vals = jnp.where(inx, vals, oob_id)
+    types = _apply_lut(vals, coll_lut)
+    return _resolve_core(types, lx, ly, x, y, w, h, fallthrough, step_y)
+
+
+def fetch_window_rows(grid, ly, oob_id):
+    """Tile values of the 3 window rows starting at `ly` for K probes:
+    one batched contraction per call (fold K*3 into the matmul M dim).
+
+    grid [H, W]; ly i32 [K] -> rows i32 [K, 3, W] with row-OOB folded.
+    """
+    H, W = grid.shape
+    ys = ly[:, None] + jnp.arange(_WINDOW)  # [K, 3]
+    ohy = (jnp.arange(H) == ys[..., None]).astype(jnp.bfloat16)  # [K,3,H]
+    K = ys.shape[0]
+    rows = (ohy.reshape(K * _WINDOW, H) @ grid.astype(jnp.bfloat16))
+    rows = jnp.round(rows).astype(jnp.int32).reshape(K, _WINDOW, W)
+    iny = ((ys >= 0) & (ys < H))[..., None]
+    return jnp.where(iny, rows, oob_id)
+
+
+def _resolve_core(types, lx, ly, x, y, w, h, fallthrough, step_y):
     ux = jnp.ceil(x + w).astype(jnp.int32)
     uy = jnp.ceil(y + h).astype(jnp.int32)
     cx = x + w * 0.5
     cy = y + h * 0.5
-    types = _window_types(grid, coll_lut, lx, ly, oob_id)
 
     fallthrough = jnp.asarray(fallthrough)
     step_y = jnp.asarray(step_y, jnp.float32)
