@@ -78,6 +78,7 @@ class Environment:
         self.generate_bank = jax.jit(
             self._generate_bank, static_argnames="num_levels"
         )
+        self._render_cache = {}  # (game, cfg, size) -> jitted window render
 
     # ------------------------------------------------------------------
     # Level bank
@@ -172,6 +173,39 @@ class Environment:
             self._step_one, in_axes=(None, 0, 0)
         )(bank, state, action)
         return new_state, ts.replace(obs=self._observe_batch(new_state.game))
+
+    # ------------------------------------------------------------------
+    # Window-resolution human render (cenv_render counterpart)
+    # ------------------------------------------------------------------
+    def render(self, state: EnvState, size: int = 512, env_index: int = 0):
+        """Re-render one env's scene at window resolution.
+
+        The reference renders every scene twice — the 64x64 obs and a
+        W x H viewer surface (`cenv_render`, games/coinrun/
+        coinrun.cpp:393-411; `width`/`height` make-options
+        coinrun.cpp:141-149). Here the same scene description traces at
+        a different resolution (render/compositor.resolution), compiled
+        once per (game, size).
+
+        Returns uint8 [size, size, 3].
+        """
+        from ..render import compositor as C
+
+        key = (self.game.NAME, self.cfg, int(size))
+        fn = self._render_cache.get(key)
+        if fn is None:
+            with C.resolution(size):
+                fn = jax.jit(
+                    functools.partial(self.game.observe, self.cfg)
+                )
+                # trace eagerly inside the resolution context so the
+                # size is baked into the compiled program
+                one = jax.tree.map(lambda x: x[env_index], state.game)
+                out = fn(one)
+            self._render_cache[key] = fn
+            return out
+        one = jax.tree.map(lambda x: x[env_index], state.game)
+        return fn(one)
 
     # ------------------------------------------------------------------
     # Spaces (mirrors cenv.py:211-245's dict-of-spaces surface)

@@ -99,10 +99,20 @@ class GymEnv(_BASE):
             {},
         )
 
-    def render(self):
-        if self._last_obs is None:
+    def render(self, size: Optional[int] = None):
+        """Frame for humans, re-rendered at window resolution.
+
+        Mirrors `cenv_render` (games/coinrun/coinrun.cpp:393-411): the
+        scene is rendered a second time onto a window-size target (the
+        reference's default viewer surface is 512x512,
+        coinrun.cpp:141-149) rather than upscaling the 64x64 obs.
+        `size=None` returns the last observation frame (rgb_array mode).
+        """
+        if self._state is None:
             return None
-        return self._last_obs["screen"]
+        if size is None:
+            return None if self._last_obs is None else self._last_obs["screen"]
+        return np.asarray(self._env.render(self._state, size=size))
 
     def close(self):
         pass

@@ -661,7 +661,8 @@ def step(cfg: Config, state: State, action):
 def observe(cfg: Config, state: State):
     A = _assets()
     level = state.level
-    wx, wy = C.camera_coords(PPU, jnp.float32(0.0), jnp.float32(0.0))
+    ppu = PPU * (C.OBS / 64.0)  # window renders scale, bossfight.cpp:412
+    wx, wy = C.camera_coords(ppu, jnp.float32(0.0), jnp.float32(0.0))
 
     img = C.clear()
     # background spans the whole screen (bossfight.cpp:416-418)

@@ -554,7 +554,8 @@ def observe(cfg: Config, state: State):
     A = _assets()
     level = state.level
     M = cfg.max_obj
-    wx, wy = C.camera_coords(PPU, state.pos[0], state.pos[1])
+    ppu = PPU * (C.OBS / 64.0)  # window renders scale, caveflyer.cpp render_game
+    wx, wy = C.camera_coords(ppu, state.pos[0], state.pos[1])
 
     img = C.clear()
     img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)

@@ -415,7 +415,8 @@ def observe(cfg: Config, state: State):
     level = state.level
     cam_x = jnp.float32(MAP_W / 2.0)  # climber.cpp:464
     cam_y = state.pos[1] - 8.5  # common_systems.cpp:259
-    wx, wy = C.camera_coords(PPU, cam_x, cam_y)
+    ppu = PPU * (C.OBS / 64.0)  # window renders scale (render_game)
+    wx, wy = C.camera_coords(ppu, cam_x, cam_y)
 
     img = C.clear()
     img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)

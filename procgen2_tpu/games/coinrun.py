@@ -570,7 +570,8 @@ def observe(cfg: Config, state: State):
     level = state.level
     cam_x = state.pos[0]
     cam_y = state.pos[1] - 0.5  # common_systems.cpp:238-239
-    wx, wy = C.camera_coords(PPU, cam_x, cam_y)
+    ppu = PPU * (C.OBS / 64.0)  # window renders scale, coinrun.cpp:412
+    wx, wy = C.camera_coords(ppu, cam_x, cam_y)
 
     img = C.clear()
     img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)

@@ -477,7 +477,8 @@ def observe(cfg: Config, state: State):
     level = state.level
     cam_x = state.pos[0]
     cam_y = state.pos[1] - 0.5  # common_systems.cpp:180-181
-    wx, wy = C.camera_coords(PPU, cam_x, cam_y)
+    ppu = PPU * (C.OBS / 64.0)  # window renders scale (render_game)
+    wx, wy = C.camera_coords(ppu, cam_x, cam_y)
 
     img = C.clear()
     img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)
@@ -527,7 +528,11 @@ def observe(cfg: Config, state: State):
 
     # --- Compass HUD, screen space (jumper.cpp:473-509) ---
     px, py = C.pixel_coords()
-    cs = 200.0 * ZOOM  # compass_size * game_zoom = 60 px on the obs
+    # HUD pixel sizes do NOT scale with the target: the reference sizes
+    # the compass by game_zoom alone (jumper.cpp:487: compass_size *
+    # game_zoom = 60 px on any surface — most of the 64-px obs, a corner
+    # widget on a 512-px window)
+    cs = 200.0 * ZOOM
     offx, offy = -32.0 * ZOOM, 32.0 * ZOOM
     to_goal = level.goal_pos - state.pos
     dist = jnp.sqrt(to_goal[0] ** 2 + to_goal[1] ** 2)

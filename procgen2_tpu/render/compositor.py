@@ -32,6 +32,8 @@ per-env matmuls become batched matmuls.
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +41,28 @@ from .atlas import SPRITE_SIZE
 
 OBS = 64  # observation width/height, games/maze/maze.cpp:26-27
 S = SPRITE_SIZE
+
+
+@contextlib.contextmanager
+def resolution(n: int):
+    """Trace-time render resolution override (square n x n target).
+
+    The reference renders every scene twice — a 64x64 observation and a
+    W x H window surface (`renderer.h:12,25-27`, dual targets created in
+    cenv_make, games/coinrun/coinrun.cpp:225-229). Here a single scene
+    description serves both: game `observe` functions read `C.OBS` at
+    trace time, so tracing under `with resolution(512):` yields the
+    window-size render program (camera spans the same world extent —
+    games scale their ppu by OBS/64, mirroring render_game's
+    `camera_scale = zoom * width / obs_width`, coinrun.cpp:412).
+    """
+    global OBS
+    old = OBS
+    OBS = int(n)
+    try:
+        yield
+    finally:
+        OBS = old
 
 
 def planar(img_hwc):

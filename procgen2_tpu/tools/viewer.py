@@ -2,10 +2,11 @@
 
 Keyboard map mirrors the reference (interactive_viewer.py:44-70):
 a/d = left/right, w = up/jump, s = down/fallthrough, e = fire/interact,
-r = force reset, q = quit. The 64x64 observation is upscaled to the
-window (the JAX engines render observations only; there is no separate
-window-size render target to duplicate textures for —
-common_assets.h:11-13's per-renderer copies have no analogue here).
+r = force reset, o = toggle obs view, q = quit. By default the scene is
+re-rendered natively at the window resolution (`cenv_render`'s W x H
+target, games/coinrun/coinrun.cpp:393-411) via GymEnv.render(size); `o`
+switches to the upscaled 64x64 observation, mirroring
+interactive_viewer.py:78-90's obs toggle.
 
 Run:  python -m procgen2_tpu.tools.viewer coinrun [--mode hard]
 """
@@ -70,6 +71,7 @@ def main(argv=None):
     ks_prev = pygame.key.get_pressed()
     running = True
     ep_return = 0.0
+    show_obs = False  # 'o' toggles the 64x64 obs view
     while running:
         for event in pygame.event.get():
             if event.type == pygame.QUIT:
@@ -77,6 +79,8 @@ def main(argv=None):
         ks = pygame.key.get_pressed()
         if ks[pygame.K_q]:
             running = False
+        if ks[pygame.K_o] and not ks_prev[pygame.K_o]:
+            show_obs = not show_obs
         force_reset = ks[pygame.K_r] and not ks_prev[pygame.K_r]
 
         action = compute_action(ks, pygame)
@@ -89,9 +93,10 @@ def main(argv=None):
             if force_reset:
                 obs, _ = env.reset()
 
-        frame = obs["screen"]
+        frame = obs["screen"] if show_obs else env.render(size=args.size)
         surf = pygame.surfarray.make_surface(np.swapaxes(frame, 0, 1))
-        surf = pygame.transform.scale(surf, (args.size, args.size))
+        if frame.shape[0] != args.size:
+            surf = pygame.transform.scale(surf, (args.size, args.size))
         screen.blit(surf, (0, 0))
         ks_prev = ks
         pygame.display.flip()

@@ -67,3 +67,25 @@ def test_bench_cli_smoke():
 
     r = bench_game("maze", num_envs=8, num_levels=8, T=2, iters=2, mode="easy")
     assert r["env_steps_per_s"] > 0
+
+
+def test_window_resolution_render():
+    """cenv_render counterpart: re-render at window resolution
+    (games/coinrun/coinrun.cpp:393-411). The window frame must be a
+    native render (not an upscale) covering the same world extent."""
+    import jax
+    import numpy as np
+    import procgen2_tpu as pg
+
+    env = pg.make("maze", mode="easy")
+    bank = env.generate_bank(jax.random.key(0), num_levels=4)
+    state, ts = env.reset(bank, jax.random.key(1), num_envs=2)
+    frame = np.asarray(env.render(state, size=128))
+    assert frame.shape == (128, 128, 3) and frame.dtype == np.uint8
+    # same world extent: 2x2-downsampled window frame ~ the 64x64 obs
+    obs = np.asarray(ts.obs[0], np.int32)
+    ds = frame.reshape(64, 2, 64, 2, 3).astype(np.int32)[:, 0, :, 0]
+    assert np.abs(ds - obs).mean() < 25.0
+    # a second env index renders its own scene
+    f1 = np.asarray(env.render(state, size=128, env_index=1))
+    assert f1.shape == (128, 128, 3)
