@@ -83,9 +83,22 @@ class Environment:
     # ------------------------------------------------------------------
     # Level bank
     # ------------------------------------------------------------------
-    def _generate_bank(self, key, num_levels: int):
-        """Batched on-device level generation (one `vmap(generate)` call)."""
-        keys = jax.random.split(key, num_levels)
+    def _generate_bank(self, key, num_levels: int, start_level: int = 0):
+        """Batched on-device level generation (one `vmap(generate)` call).
+
+        Level-set semantics (the original procgen's `num_levels` /
+        `start_level` kwargs, which the reference dropped — SURVEY.md §5
+        "Config / flag system"): level `i` of the returned bank is keyed
+        by ``fold_in(key, start_level + i)``, so the same ``(key,
+        start_level + i)`` pair reproduces the identical level across
+        runs, hosts and bank sizes. Train/test splits are therefore
+        expressible exactly as in procgen: train on
+        ``generate_bank(k, 200, start_level=0)``, evaluate on
+        ``generate_bank(k, 10_000, start_level=200)`` — disjoint,
+        portable sets.
+        """
+        ids = jnp.arange(num_levels, dtype=jnp.uint32) + jnp.uint32(start_level)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(ids)
         gen = functools.partial(self.game.generate, self.cfg)
         return jax.vmap(gen)(keys)
 

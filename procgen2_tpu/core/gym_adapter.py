@@ -44,7 +44,7 @@ class GymEnv(_BASE):
 
     def __init__(self, game: str, num_levels: int = 256,
                  seed: Optional[int] = None, render_mode: str = "rgb_array",
-                 **config):
+                 start_level: int = 0, **config):
         from .. import make
 
         self._env = make(game, **config)
@@ -53,7 +53,9 @@ class GymEnv(_BASE):
         seed = np.random.randint(2**31) if seed is None else seed
         self._key = jax.random.key(seed)
         self._key, bk = jax.random.split(self._key)
-        self._bank = self._env.generate_bank(bk, num_levels=num_levels)
+        self._bank = self._env.generate_bank(
+            bk, num_levels=num_levels, start_level=start_level
+        )
         self._state = None
         self._last_obs = None
 

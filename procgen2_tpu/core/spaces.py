@@ -3,8 +3,8 @@
 The reference exposes spaces through the C ABI as tagged buffers
 (`cenv/cenv.h:76-84`: CENV_SPACE_TYPE_BOX / CENV_SPACE_TYPE_MULTI_DISCRETE)
 which `cenv/cenv.py:211-245` translates into gymnasium spaces. Here spaces are
-plain Python descriptors; `procgen2_tpu.compat.gym` adapts them to gymnasium
-when that package is installed.
+plain Python descriptors; `procgen2_tpu.core.gym_adapter.GymEnv` adapts them
+to gymnasium spaces when that package is installed.
 """
 from __future__ import annotations
 

@@ -51,10 +51,12 @@ class ShardedEnv:
     """
 
     def __init__(self, env: Environment, num_envs: int, num_levels: int,
-                 mesh: Mesh | None = None, axis_name: str = "env"):
+                 mesh: Mesh | None = None, axis_name: str = "env",
+                 start_level: int = 0):
         self.env = env
         self.num_envs = num_envs
         self.num_levels = num_levels
+        self.start_level = start_level
         self.mesh = mesh or _mesh_from(axis_name=axis_name)
         self.axis = axis_name
         if num_envs % self.mesh.devices.size:
@@ -88,7 +90,9 @@ class ShardedEnv:
         """Generate the replicated bank (once) and the sharded env state."""
         if self._bank is None:
             bk = bank_key if bank_key is not None else jax.random.fold_in(key, 17)
-            bank = self.env.generate_bank(bk, num_levels=self.num_levels)
+            bank = self.env.generate_bank(
+                bk, num_levels=self.num_levels, start_level=self.start_level
+            )
             self._bank = jax.device_put(bank, self.repl)
         return self._reset(self._bank, key)
 
@@ -118,11 +122,17 @@ class ShardedEnv:
 
 
 def make_vec(game: str, num_envs: int, num_levels: int = 1024,
-             mesh: Mesh | None = None, **config) -> ShardedEnv:
-    """Create a mesh-sharded batched env (cf. `procgen2_tpu.make`)."""
+             mesh: Mesh | None = None, start_level: int = 0,
+             **config) -> ShardedEnv:
+    """Create a mesh-sharded batched env (cf. `procgen2_tpu.make`).
+
+    `num_levels`/`start_level` select a portable level set: level `i` is
+    derived as `fold_in(bank_key, start_level + i)` (procgen's level-set
+    restriction semantics; see Environment._generate_bank)."""
     from .. import make
 
-    return ShardedEnv(make(game, **config), num_envs, num_levels, mesh=mesh)
+    return ShardedEnv(make(game, **config), num_envs, num_levels, mesh=mesh,
+                      start_level=start_level)
 
 
 def init_multihost(coordinator_address: str | None = None):

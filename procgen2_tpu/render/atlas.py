@@ -781,6 +781,10 @@ BG_SIZE = 64  # matches the obs resolution: backgrounds are sampled at
 #               most once per obs pixel, so higher-res textures only cost
 #               HBM reads (the one-hot selection reads every bg per env)
 
+# kind -> uint8 [m, BG_SIZE, BG_SIZE, 3]; populated by render.png_assets
+# when a user overlays the reference's real background PNGs.
+_BG_OVERLAY: Dict[str, np.ndarray] = {}
+
 
 @functools.lru_cache(maxsize=None)
 def build_backgrounds(kind: str, n: int) -> np.ndarray:
@@ -788,8 +792,14 @@ def build_backgrounds(kind: str, n: int) -> np.ndarray:
 
     Stand-ins for the per-game background PNG lists (e.g. the 9 topdown
     backgrounds in games/maze/maze.cpp:62-72, the ~50 coinrun backgrounds in
-    games/coinrun/coinrun.cpp:60-110).
+    games/coinrun/coinrun.cpp:60-110). An overlay installed by
+    `render.png_assets.install` replaces these with the real PNGs (tiled
+    modulo if the requested count exceeds the supplied files).
     """
+    ov = _BG_OVERLAY.get(kind)
+    if ov is not None:
+        reps = -(-n // ov.shape[0])
+        return np.tile(ov, (reps, 1, 1, 1))[:n]
     out = np.zeros((n, BG_SIZE, BG_SIZE, 3), np.uint8)
     c = (np.arange(BG_SIZE) + 0.5) / BG_SIZE
     x, y = np.meshgrid(c, c, indexing="xy")

@@ -83,13 +83,154 @@ def run_difference(game: str, lib_path: str, steps: int = 500, seed: int = 0,
     )
 
 
+@dataclasses.dataclass
+class PixelReport:
+    """Frame-set pixel comparison (cf. difference_viewer.py:84-85 —
+    the reference's interactive signed-diff `(a - b) * 0.5 + 0.5`)."""
+
+    frames: int
+    mean_abs_diff: float  # mean |a - b| over all pixels (0..255 scale)
+    max_abs_diff: float
+    fraction_within_8: float  # pixels with |a - b| <= 8 / 255
+    per_frame_mean: np.ndarray  # f32 [T]
+
+    def __str__(self):
+        return (
+            f"frames={self.frames}\n"
+            f"mean |pixel| diff: {self.mean_abs_diff:.2f}\n"
+            f"max  |pixel| diff: {self.max_abs_diff:.0f}\n"
+            f"pixels within +-8: {self.fraction_within_8 * 100:.1f}%"
+        )
+
+
+def compare_frames(ours: np.ndarray, ref: np.ndarray) -> PixelReport:
+    """Pixel-difference report between two uint8 frame stacks [T, H, W, 3]."""
+    a = np.asarray(ours, np.float32)
+    b = np.asarray(ref, np.float32)
+    if a.shape != b.shape:
+        raise ValueError(f"frame shapes differ: {a.shape} vs {b.shape}")
+    d = np.abs(a - b)
+    return PixelReport(
+        frames=a.shape[0],
+        mean_abs_diff=float(d.mean()),
+        max_abs_diff=float(d.max()),
+        fraction_within_8=float((d <= 8).mean()),
+        per_frame_mean=d.reshape(d.shape[0], -1).mean(1),
+    )
+
+
+def signed_diff_image(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """The reference viewer's signed-difference visualization
+    (difference_viewer.py:84-85): `(a - b) * 0.5 + 0.5` mapped to uint8."""
+    d = (np.asarray(a, np.float32) - np.asarray(b, np.float32)) / 255.0
+    return np.clip(np.round((d * 0.5 + 0.5) * 255.0), 0, 255).astype(np.uint8)
+
+
+def record_fixture(game: str, lib_path: str, out: str, steps: int = 200,
+                   seed: int = 0) -> None:
+    """Record a reference-.so trajectory into an .npz fixture.
+
+    Saved keys: game, seed, actions i32[T], frames u8[T, 64, 64, 3],
+    rewards f32[T], terminated bool[T]. Usable later (no .so required)
+    via `run_fixture_diff` / `--fixture`.
+    """
+    from .cenv_loader import ReferenceEnv
+
+    ref = ReferenceEnv(lib_path, seed=seed)
+    ref.reset(seed=seed)
+    rng = np.random.default_rng(seed)
+    actions, frames, rewards, terms = [], [], [], []
+    for _ in range(steps):
+        a = int(rng.integers(0, 15))
+        obs, r, term, _ = ref.step(a)
+        actions.append(a)
+        frames.append(obs.copy())
+        rewards.append(r)
+        terms.append(term)
+        if term:
+            ref.reset()
+    ref.close()
+    np.savez_compressed(
+        out, game=game, seed=seed,
+        actions=np.asarray(actions, np.int32),
+        frames=np.stack(frames).astype(np.uint8),
+        rewards=np.asarray(rewards, np.float32),
+        terminated=np.asarray(terms, bool),
+    )
+
+
+def run_fixture_diff(fixture_path: str, **config):
+    """Replay a recorded reference fixture through the JAX engine on the
+    *reference's own level* (mt1993-oracle-predicted, reference_levels)
+    and report reward/termination agreement plus a pixel report.
+
+    This is the recorded-fixture counterpart of `run_difference`: the
+    oracle pins the level layout to the reference seed, so frames are
+    comparable scene-for-scene (pixel-identical only with the PNG asset
+    overlay installed, render/png_assets.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .. import make
+    from .reference_levels import reference_bank
+    from ..utils.tree import bank_gather
+
+    fx = np.load(fixture_path, allow_pickle=False)
+    game = str(fx["game"])
+    seed = int(fx["seed"])
+    actions = fx["actions"]
+
+    env = make(game, **config)
+    bank = jax.tree.map(jnp.asarray, reference_bank(game, [seed], **config))
+    state, ts = env.reset(bank, jax.random.key(seed), num_envs=1)
+
+    frames, rewards, terms = [], [], []
+    for a in actions:
+        state, ts = env.step(bank, state, jnp.array([int(a)], jnp.int32))
+        frames.append(np.asarray(ts.obs[0]))
+        rewards.append(float(ts.reward[0]))
+        terms.append(bool(ts.terminated[0]))
+    pix = compare_frames(np.stack(frames), fx["frames"])
+    reward_match = float(
+        np.mean(np.isclose(np.asarray(rewards, np.float32), fx["rewards"]))
+    )
+    term_match = float(np.mean(np.asarray(terms, bool) == fx["terminated"]))
+    return dict(
+        reward_agreement=reward_match,
+        termination_agreement=term_match,
+        pixel=pix,
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("game")
-    parser.add_argument("--lib", required=True, help="path to reference .so")
+    parser.add_argument("game", nargs="?")
+    parser.add_argument("--lib", help="path to reference .so")
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--record", metavar="OUT.npz",
+                        help="record a reference fixture (needs --lib)")
+    parser.add_argument("--fixture", metavar="IN.npz",
+                        help="compare against a recorded fixture (no .so)")
+    parser.add_argument("--assets", metavar="DIR",
+                        help="overlay reference PNG assets before comparing")
     args = parser.parse_args(argv)
+    if args.assets:
+        from ..render import png_assets
+
+        png_assets.install(args.assets)
+    if args.record:
+        record_fixture(args.game, args.lib, args.record,
+                       steps=args.steps, seed=args.seed)
+        print(f"recorded {args.steps} steps -> {args.record}")
+        return
+    if args.fixture:
+        rep = run_fixture_diff(args.fixture)
+        print(f"reward agreement:      {rep['reward_agreement'] * 100:.1f}%")
+        print(f"termination agreement: {rep['termination_agreement'] * 100:.1f}%")
+        print(rep["pixel"])
+        return
     print(run_difference(args.game, args.lib, steps=args.steps, seed=args.seed))
 
 

@@ -34,3 +34,22 @@ def test_bank_and_trajectory_deterministic(game):
     r2, o2 = run(b2)
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_array_equal(o1, o2)
+
+
+def test_level_set_semantics():
+    """procgen-style num_levels/start_level: level i == fold_in(key,
+    start_level+i), so shifted ranges share identical levels and the
+    same range is portable across bank sizes (VERDICT.md next #8)."""
+    env = pg.make("maze")
+    key = jax.random.key(42)
+    full = env.generate_bank(key, num_levels=6, start_level=0)
+    tail = env.generate_bank(key, num_levels=3, start_level=3)
+    for lf, lt in zip(jax.tree.leaves(full), jax.tree.leaves(tail)):
+        np.testing.assert_array_equal(np.asarray(lf)[3:6], np.asarray(lt))
+    # disjoint ranges differ
+    head = env.generate_bank(key, num_levels=3, start_level=0)
+    same = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(head), jax.tree.leaves(tail))
+    )
+    assert not same
