@@ -28,16 +28,22 @@ def _mesh_from(devices=None, axis_name: str = "env") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def local_slice(global_array, mesh: Mesh, axis_name: str = "env"):
+def local_slice(global_array, mesh: Mesh | None = None, axis_name: str = "env"):
     """The rows of a batch-sharded global array owned by this host.
 
     Multi-host helper: with N hosts each holding D local devices, host k
-    owns rows [k*B/N, (k+1)*B/N) of a batch sharded over `env`.
+    owns rows [k*B/N, (k+1)*B/N) of a batch sharded over `env`. Works on
+    non-fully-addressable global arrays (reads only addressable shards).
+
+    Returns `(rows, start)`: the host-local rows as numpy, and their
+    global row offset.
     """
-    n_local = len([d for d in mesh.devices.flat if d.process_index == jax.process_index()])
-    per_dev = global_array.shape[0] // mesh.devices.size
-    start = jax.process_index() * n_local * per_dev
-    return global_array[start : start + n_local * per_dev]
+    shards = sorted(
+        global_array.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    rows = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    start = shards[0].index[0].start or 0
+    return rows, start
 
 
 class ShardedEnv:
@@ -135,14 +141,15 @@ def make_vec(game: str, num_envs: int, num_levels: int = 1024,
                       start_level=start_level)
 
 
-def init_multihost(coordinator_address: str | None = None):
+def init_multihost(coordinator_address: str | None = None, **kwargs):
     """Initialize the JAX distributed runtime for multi-host meshes.
 
     Thin wrapper over `jax.distributed.initialize` — env vars
-    (JAX_COORDINATOR_ADDRESS etc.) configure the pod slice. Call before
-    any other JAX API on every host.
+    (JAX_COORDINATOR_ADDRESS etc.) configure the pod slice; explicit
+    `num_processes`/`process_id` kwargs pass through (used by
+    tests/test_multihost.py's 2-process CPU harness). Call before any
+    other JAX API on every host.
     """
-    kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
     jax.distributed.initialize(**kwargs)
