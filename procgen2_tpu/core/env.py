@@ -74,7 +74,8 @@ class Environment:
         # Jit entry points once per Environment instance; `num_envs` /
         # `num_levels` are static (they set array shapes).
         self.reset = jax.jit(self._reset, static_argnames="num_envs")
-        self.step = jax.jit(self._step)
+        self.step = jax.jit(self._step, static_argnames="render")
+        self.observe = jax.jit(self._observe)
         self.generate_bank = jax.jit(
             self._generate_bank, static_argnames="num_levels"
         )
@@ -178,14 +179,24 @@ class Environment:
         )
         return new_state, ts
 
-    def _step(self, bank, state: EnvState, action):
-        """Batched step. `action` is int32[num_envs] (or [num_envs, 1])."""
+    def _step(self, bank, state: EnvState, action, render: bool = True):
+        """Batched step. `action` is int32[num_envs] (or [num_envs, 1]).
+
+        `render=False` skips observation rendering (ts.obs is None) —
+        for frame-skip wrappers, state-based probes and tests; render on
+        demand later with `env.observe(state)`. The reference has no such
+        split (every cenv_step renders, coinrun.cpp:373-388)."""
         if action.ndim > 1:
             action = action.squeeze(-1)
         new_state, ts = jax.vmap(
             self._step_one, in_axes=(None, 0, 0)
         )(bank, state, action)
-        return new_state, ts.replace(obs=self._observe_batch(new_state.game))
+        obs = self._observe_batch(new_state.game) if render else None
+        return new_state, ts.replace(obs=obs)
+
+    def _observe(self, state: EnvState):
+        """Render observations for an existing state (on-demand path)."""
+        return self._observe_batch(state.game)
 
     # ------------------------------------------------------------------
     # Window-resolution human render (cenv_render counterpart)

@@ -45,7 +45,7 @@ def test_level_layout(bank):
 def test_agent_clamped_to_screen(env, bank):
     state, _ = env.reset(bank, jax.random.key(1), num_envs=8)
     for _ in range(60):
-        state, ts = env.step(bank, state, jnp.full((8,), RIGHT, jnp.int32))
+        state, ts = env.step(bank, state, jnp.full((8,), RIGHT, jnp.int32), render=False)
     x = np.asarray(state.game.pos[:, 0])
     done = np.asarray(ts.terminated)
     assert ((x <= bossfight.HALF - 0.15 + 1e-5) | done).all()
@@ -56,7 +56,7 @@ def test_boss_stays_shielded_initially_and_fires(env, bank):
     noop = jnp.full((8,), NOOP, jnp.int32)
     fired = np.zeros(8, bool)
     for _ in range(30):
-        state, ts = env.step(bank, state, noop)
+        state, ts = env.step(bank, state, noop, render=False)
         fired |= np.asarray(state.game.bb_num) > 0
     # shielded phase lasts >= 180 dt = 45 steps
     done = np.asarray(ts.terminated)
@@ -69,7 +69,7 @@ def test_shield_bounces_player_bullets(env, bank):
     state, _ = env.reset(bank, jax.random.key(3), num_envs=16)
     saw_bounce = False
     for _ in range(40):
-        state, ts = env.step(bank, state, jnp.full((16,), FIRE, jnp.int32))
+        state, ts = env.step(bank, state, jnp.full((16,), FIRE, jnp.int32), render=False)
         gs = state.game
         saw_bounce |= bool(np.asarray(gs.ab_bouncing).any())
         hp = np.asarray(gs.hp)
@@ -85,7 +85,7 @@ def test_reward_values(env, bank):
     for _ in range(150):
         key, k = jax.random.split(key)
         a = jax.random.choice(k, jnp.array([LEFT, RIGHT, UP, DOWN, FIRE]), (64,))
-        state, ts = env.step(bank, state, a)
+        state, ts = env.step(bank, state, a, render=False)
         for v in np.unique(np.asarray(ts.reward)):
             seen.add(float(v))
     assert seen.issubset({-10.0, 0.0, 10.0})
