@@ -75,6 +75,7 @@ class Environment:
         # `num_levels` are static (they set array shapes).
         self.reset = jax.jit(self._reset, static_argnames="num_envs")
         self.step = jax.jit(self._step, static_argnames="render")
+        self.step_raw = jax.jit(self._step_raw, static_argnames="render")
         self.observe = jax.jit(self._observe)
         self.generate_bank = jax.jit(
             self._generate_bank, static_argnames="num_levels"
@@ -193,6 +194,43 @@ class Environment:
         )(bank, state, action)
         obs = self._observe_batch(new_state.game) if render else None
         return new_state, ts.replace(obs=obs)
+
+    def _step_raw(self, state: EnvState, action, render: bool = True):
+        """Batched step WITHOUT auto-reset.
+
+        Done lanes return the *terminal* state and frame; continuing to
+        step a terminated lane keeps simulating the dead world. This is
+        the reference contract — episode reset is the caller's job
+        (SURVEY.md §3.3, game_test.py:38-40) and the step that returns
+        `terminated=True` still shows the terminal scene. The vectorized
+        training path (`step`) auto-resets instead; this entry point
+        backs the single-env Gymnasium adapter and parity harnesses.
+        """
+        if action.ndim > 1:
+            action = action.squeeze(-1)
+
+        def one(state, a):
+            gs, reward, terminated, info = self.game.step(
+                self.cfg, state.game, a
+            )
+            new_state = EnvState(
+                game=gs,
+                ep_return=state.ep_return + reward,
+                ep_length=state.ep_length + 1,
+                rng=state.rng,
+            )
+            return new_state, reward, terminated, info
+
+        new_state, reward, terminated, info = jax.vmap(one)(state, action)
+        obs = self._observe_batch(new_state.game) if render else None
+        ts = TimeStep(
+            obs=obs,
+            reward=reward,
+            terminated=terminated,
+            truncated=jnp.zeros_like(terminated),
+            info=dict(info),
+        )
+        return new_state, ts
 
     def _observe(self, state: EnvState):
         """Render observations for an existing state (on-demand path)."""

@@ -86,13 +86,13 @@ class GymEnv(_BASE):
         if isinstance(action, dict):  # reference dict-action path
             action = action["action"]
         a = jnp.asarray(np.asarray(action).reshape(-1)[:1], jnp.int32)
-        self._state, ts = self._env.step(self._bank, self._state, a)
+        # step WITHOUT auto-reset: like the reference, the step that
+        # returns `terminated=True` shows the terminal frame and episode
+        # reset is the caller's job (SURVEY.md §3.3, game_test.py:38-40);
+        # stepping past termination keeps simulating the dead world.
+        self._state, ts = self._env.step_raw(self._state, a)
         obs = {"screen": np.asarray(ts.obs[0])}
         self._last_obs = obs
-        # NOTE: the underlying engine auto-resets; mirroring the reference
-        # (episode auto-reset is the caller's job, SURVEY.md §3.3) the
-        # returned obs after `terminated` is the fresh episode's first
-        # frame, equivalent to calling reset() immediately.
         return (
             obs,
             float(ts.reward[0]),

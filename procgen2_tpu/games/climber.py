@@ -462,3 +462,121 @@ def obs_space(cfg: Config):
 
 def action_space(cfg: Config):
     return spaces.MultiDiscrete((NUM_ACTIONS,))
+
+# ---------------------------------------------------------------------------
+# Batched fast renderer: per-env y camera, themed tile stack, pixel stamps
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _stamp_banks():
+    """Pixel-snapped patch banks (compositor.stamps_from_pixel_bank)."""
+    A = atlas_lib
+    u = PPU  # 1 world unit in obs pixels (3.2 at zoom 0.2)
+    specs = [("crystal", u, u)]
+    for f in ("swimmer", "swimmer_move"):
+        specs.append((f, u, u))
+        specs.append((f, u, u, 0.0, True))  # flipped
+    moving = A.build_pixel_bank(tuple(specs), patch=8)
+    aspecs = []
+    for th in A.CLIMBER_AGENT_THEMES:
+        for k in ("stand", "jump", "walk1", "walk2"):
+            # 0.8 x 1.1 units (common_systems.cpp:292-294)
+            aspecs.append((f"climber_{th}_{k}", 0.8 * u, 1.1 * u))
+            aspecs.append((f"climber_{th}_{k}", 0.8 * u, 1.1 * u, 0.0, True))
+    agent = A.build_pixel_bank(tuple(aspecs), patch=8)
+    return dict(moving=moving, agent=agent)
+
+
+def observe_batch(cfg: Config, states: State):
+    """Batched renderer: same scene as `observe`, composed with shared
+    batched matmuls (tile kinds) + pixel-snapped stamps (sprites) instead
+    of per-env draw calls. Differences vs the per-env path are stamp
+    pixel snapping (<=1 px) and additive blending of overlapping stamps.
+    """
+    A = _assets()
+    banks = _stamp_banks()
+    level = states.level
+    N = states.pos.shape[0]
+    cam_x = jnp.full((N,), MAP_W / 2.0, jnp.float32)  # climber.cpp:464
+    cam_y = states.pos[:, 1] - 8.5  # common_systems.cpp:259
+
+    c = jnp.arange(C.OBS, dtype=jnp.float32) + 0.5 - C.OBS / 2
+    wx_b = cam_x[:, None] + c[None, :] / PPU
+    wy_b = cam_y[:, None] + c[None, :] / PPU
+
+    img = C.draw_background_batch(
+        jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32), wx_b, wy_b
+    )
+
+    # ---- themed wall tiles (per-env texture rows, shared sampling) ----
+    ohy, ohx, ohv, ohu, inb = C.tile_onehots(wx_b, wy_b, MAP_H, MAP_W)
+    G = jnp.einsum("nrh,nhw->nrw", ohy, level.grid.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)
+    G = jnp.einsum("nrw,nuw->nru", G, ohx,
+                   preferred_element_type=jnp.bfloat16)
+    G = jnp.where(inb, jnp.round(G),
+                  jnp.float32(EMPTY)).astype(jnp.int8)[:, None]
+
+    atlas_s = jnp.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)  # [A, 4, S, S]
+    tl = jnp.asarray(A["tile_lut"])
+    th = level.theme.astype(jnp.int32)
+    themed = jnp.stack(
+        [atlas_s[tl[th, WALL_TOP]], atlas_s[tl[th, WALL_MID]]], axis=1
+    ).astype(jnp.bfloat16)  # [N, 2, 4, S, S]
+    t1 = jnp.einsum("nrh,nkchw->nkcrw", ohv, themed,
+                    preferred_element_type=jnp.bfloat16)
+    themed_img = jnp.einsum("nkcrw,nuw->nkcru", t1, ohu,
+                            preferred_element_type=jnp.bfloat16)
+
+    inv = jnp.bfloat16(1 / 255.0)
+
+    def blend_kind(img, mask, kimg):
+        a = mask.astype(jnp.bfloat16) * (kimg[:, 3:4] * inv)
+        return img + a * (kimg[:, :3] - img)
+
+    img = blend_kind(img, G == WALL_TOP, themed_img[:, 0])
+    img = blend_kind(img, G == WALL_MID, themed_img[:, 1])
+
+    # ---- stamps: crystals + swimming mobs, then the agent ----
+    def pix(centers, P):
+        px = (centers[..., 0] - cam_x[:, None]) * PPU + C.OBS / 2
+        py = (centers[..., 1] - cam_y[:, None]) * PPU + C.OBS / 2
+        return (jnp.round(py - P / 2).astype(jnp.int32),
+                jnp.round(px - P / 2).astype(jnp.int32))
+
+    live = level.point_exists & ~states.point_taken  # [N, MAX_POINTS]
+    mob_frame = ((states.t // 5) % 2).astype(jnp.int32)  # anim rate 0.2
+    mob_flip = (states.mob_vx < 0.0).astype(jnp.int32)
+    mob_var = 1 + mob_frame[:, None] * 2 + mob_flip
+    crys_var = jnp.zeros((N, MAX_POINTS), jnp.int32)
+
+    # crystal center = point_pos (1x1 at offset -0.5); mob center =
+    # mob_pos + 0.1 (1x1 at offset -0.4, tilemap.cpp:47-54)
+    centers = jnp.concatenate(
+        [level.point_pos, states.mob_pos + 0.1], axis=1
+    )
+    vars_ = jnp.concatenate([crys_var, mob_var], axis=1)
+    alives = jnp.concatenate([live, level.mob_alive], axis=1)
+    r0, c0 = pix(centers, 8)
+    rgbp, a = C.stamps_from_pixel_bank(banks["moving"], vars_, r0, c0,
+                                       alives=alives)
+    img = C.blend_premul(img, rgbp, a)
+
+    # agent: 0.8 x 1.1 at (x-0.5, y-1.0) -> center (x-0.1, y-0.45)
+    pose = jnp.where(
+        (jnp.abs(states.vel[:, 0]) < 0.01) & states.on_ground, 0,
+        jnp.where(~states.on_ground, 1,
+                  jnp.where(states.anim_t > 0.5, 3, 2)),
+    ).astype(jnp.int32)
+    avar = (level.agent_theme.astype(jnp.int32) * 8 + pose * 2
+            + (~states.face_forward).astype(jnp.int32))[:, None]
+    acenter = jnp.stack(
+        [states.pos[:, 0] - 0.1, states.pos[:, 1] - 0.45], axis=-1
+    )[:, None, :]
+    r0, c0 = pix(acenter, 8)
+    rgbp, a = C.stamps_from_pixel_bank(banks["agent"], avar, r0, c0)
+    img = C.blend_premul(img, rgbp, a)
+
+    obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    return jnp.transpose(obs, (0, 2, 3, 1))

@@ -571,3 +571,212 @@ def obs_space(cfg: Config):
 
 def action_space(cfg: Config):
     return spaces.MultiDiscrete((NUM_ACTIONS,))
+
+# ---------------------------------------------------------------------------
+# Batched fast renderer: per-env camera, themed tiles, quantized stamps
+# ---------------------------------------------------------------------------
+
+PART_BINS = 6  # particle shrink quantization (max size err < 0.1 px)
+NEEDLE_BINS = 64  # compass-needle rotation quantization (~2.8 deg)
+
+
+@functools.lru_cache(maxsize=None)
+def _stamp_banks():
+    """Pixel-snapped patch banks (compositor.stamps_from_pixel_bank)."""
+    A = atlas_lib
+    u = PPU  # 1 world unit in obs pixels (4.8 at zoom 0.3)
+    # jump-dust circles at PART_BINS quantized shrink ratios
+    # (common_systems.cpp:281-303: scale 0.45*(0.4*ratio+0.6))
+    specs = [("carrot", u, u)]
+    for q in range(PART_BINS):
+        r = (q + 0.5) / PART_BINS
+        sc = 0.45 * (0.4 * r + 0.6)
+        specs.append(("particle_circle", sc * u, sc * u))
+    moving = A.build_pixel_bank(tuple(specs), patch=8)
+    # bunny: per-pose scale (common_systems.cpp:204-243) x flip
+    bspecs = []
+    for i, k in enumerate(("stand", "jump", "walk1", "walk2")):
+        scale = 0.6 if k == "jump" else 0.5
+        for fl in (False, True):
+            bspecs.append((f"bunny_{k}", scale * u, scale * 1.33 * u, 0.0, fl))
+    bunny = A.build_pixel_bank(tuple(bspecs), patch=8)
+    # compass needle: solid_yellow cs*0.5 x cs*0.1 px, rotation baked as
+    # NEEDLE_BINS variants (jumper.cpp:497-502)
+    cs = 200.0 * ZOOM
+    nspecs = tuple(
+        ("solid_yellow", cs * 0.5, cs * 0.1, 2 * np.pi * q / NEEDLE_BINS)
+        for q in range(NEEDLE_BINS)
+    )
+    needle = A.build_pixel_bank(nspecs, patch=32)
+    return dict(moving=moving, bunny=bunny, needle=needle)
+
+
+@functools.lru_cache(maxsize=None)
+def _compass_overlay(obs: int):
+    """Constant premultiplied compass-circle overlay at obs resolution.
+
+    The circle sits at a fixed screen position (jumper.cpp:487-495:
+    compass_size 200 * game_zoom 0.3 = 60 px regardless of target size),
+    so it is identical across envs — sampled host-side once, exactly as
+    compositor._rect_onehots would (nearest, pixel centers), and blended
+    as one constant."""
+    cs = 200.0 * ZOOM
+    offx, offy = -32.0 * ZOOM, 32.0 * ZOOM
+    x0, y0 = obs - cs + offx, offy
+    src = atlas_lib.sprite_rgba("compass_circle").astype(np.float32)
+    S = src.shape[0]
+    c = np.arange(obs) + 0.5
+    u_f = (c - x0) / cs
+    v_f = (c - y0) / cs
+    in_u = (u_f >= 0) & (u_f < 1)
+    in_v = (v_f >= 0) & (v_f < 1)
+    ui = np.clip((u_f * S).astype(np.int32), 0, S - 1)
+    vi = np.clip((v_f * S).astype(np.int32), 0, S - 1)
+    tex = src[vi[:, None], ui[None, :]]  # [obs, obs, 4]
+    tex *= (in_v[:, None] & in_u[None, :])[..., None]
+    a = tex[..., 3:4] / 255.0
+    rgbp = tex[..., :3] * a
+    # numpy out (the cache must never hold tracers: jnp.asarray inside a
+    # jit trace stages a constant and returns a Tracer)
+    return rgbp.transpose(2, 0, 1)[None], a.transpose(2, 0, 1)[None]
+
+
+def observe_batch(cfg: Config, states: State):
+    """Batched renderer: same scene as `observe` via shared batched
+    matmuls + pixel-snapped stamps. Approximations vs the per-env path:
+    stamp pixel snapping (<=1 px), particle size / needle angle
+    quantization (PART_BINS / NEEDLE_BINS), additive blending of
+    overlapping stamps, and spikes composited from the merged tile grid
+    (under the dust particles instead of over — visible only when dust
+    drifts onto a spike cell). The distance bar is omitted: its obs-space
+    y (69.6 px) is off the 64-px frame entirely (jumper.cpp:503-509
+    quirk; the window-size path goes through `observe`)."""
+    A = _assets()
+    banks = _stamp_banks()
+    level = states.level
+    N = states.pos.shape[0]
+    D = cfg.world_dim
+    cam_x = states.pos[:, 0]
+    cam_y = states.pos[:, 1] - 0.5  # common_systems.cpp:180-181
+
+    c = jnp.arange(C.OBS, dtype=jnp.float32) + 0.5 - C.OBS / 2
+    wx_b = cam_x[:, None] + c[None, :] / PPU
+    wy_b = cam_y[:, None] + c[None, :] / PPU
+
+    img = C.draw_background_batch(
+        jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32), wx_b, wy_b
+    )
+
+    # ---- tiles: themed walls + shared spike kind ----
+    ohy, ohx, ohv, ohu, inb = C.tile_onehots(wx_b, wy_b, D, D)
+    merged = jnp.where(level.spike_grid, jnp.int8(SPIKE), level.grid)
+    G = jnp.einsum("nrh,nhw->nrw", ohy, merged.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)
+    G = jnp.einsum("nrw,nuw->nru", G, ohx,
+                   preferred_element_type=jnp.bfloat16)
+    G = jnp.where(inb, jnp.round(G),
+                  jnp.float32(EMPTY)).astype(jnp.int8)[:, None]
+
+    atlas_s = jnp.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)  # [A, 4, S, S]
+    tl = jnp.asarray(A["tile_lut"])
+    th = level.theme.astype(jnp.int32)
+    themed = jnp.stack(
+        [atlas_s[tl[th, WALL_TOP]], atlas_s[tl[th, WALL_MID]]], axis=1
+    ).astype(jnp.bfloat16)  # [N, 2, 4, S, S]
+    t1 = jnp.einsum("nrh,nkchw->nkcrw", ohv, themed,
+                    preferred_element_type=jnp.bfloat16)
+    themed_img = jnp.einsum("nkcrw,nuw->nkcru", t1, ohu,
+                            preferred_element_type=jnp.bfloat16)
+    spike_tex = atlas_s[A["idx"]["spikeman"]].astype(jnp.bfloat16)
+    s1 = jnp.einsum("nrh,chw->ncrw", ohv, spike_tex,
+                    preferred_element_type=jnp.bfloat16)
+    spike_img = jnp.einsum("ncrw,nuw->ncru", s1, ohu,
+                           preferred_element_type=jnp.bfloat16)
+
+    inv = jnp.bfloat16(1 / 255.0)
+
+    def blend_kind(img, mask, kimg):
+        a = mask.astype(jnp.bfloat16) * (kimg[:, 3:4] * inv)
+        return img + a * (kimg[:, :3] - img)
+
+    img = blend_kind(img, G == WALL_TOP, themed_img[:, 0])
+    img = blend_kind(img, G == WALL_MID, themed_img[:, 1])
+
+    def pix(centers, P):
+        px = (centers[..., 0] - cam_x[:, None]) * PPU + C.OBS / 2
+        py = (centers[..., 1] - cam_y[:, None]) * PPU + C.OBS / 2
+        return (jnp.round(py - P / 2).astype(jnp.int32),
+                jnp.round(px - P / 2).astype(jnp.int32))
+
+    # ---- dust particles (jumper.cpp:470-472: after tilemap) ----
+    ratio = jnp.clip(
+        (PART_LIFESPAN - states.part_life) / PART_LIFESPAN, 0.0, 1.0
+    )  # [N, NUM_PARTICLES]
+    pvar = 1 + jnp.clip(
+        (ratio * PART_BINS).astype(jnp.int32), 0, PART_BINS - 1
+    )
+    pcenter = jnp.stack(
+        [states.part_pos[..., 0], states.part_pos[..., 1] - ratio * 0.17],
+        axis=-1,
+    )
+    r0, c0 = pix(pcenter, 8)
+    rgbp, a = C.stamps_from_pixel_bank(
+        banks["moving"], pvar, r0, c0,
+        alives=states.part_life > 0.0, alpha=0.5 * (1.0 - ratio),
+    )
+    img = C.blend_premul(img, rgbp, a)
+
+    # spikes render above particles in class z-order (z=1, jumper.cpp:471)
+    img = blend_kind(img, G == SPIKE, spike_img)
+
+    # ---- carrot goal + bunny ----
+    r0, c0 = pix(level.goal_pos[:, None, :], 8)
+    rgbp, a = C.stamps_from_pixel_bank(
+        banks["moving"], jnp.zeros((N, 1), jnp.int32), r0, c0
+    )
+    img = C.blend_premul(img, rgbp, a)
+
+    pose = jnp.where(
+        (jnp.abs(states.vel[:, 0]) < 0.01) & states.on_ground, 0,
+        jnp.where(~states.on_ground, 1,
+                  jnp.where(states.anim_t > 0.5, 3, 2)),
+    ).astype(jnp.int32)
+    bvar = (pose * 2 + (~states.face_forward).astype(jnp.int32))[:, None]
+    scale = jnp.where(pose == 1, 0.6, 0.5)
+    off_x = jnp.where(pose == 1, -0.05, 0.0)
+    off_y = jnp.where(pose == 1, 0.25, 0.2)
+    bcenter = jnp.stack(
+        [states.pos[:, 0] - 0.25 + off_x + scale * 0.5,
+         states.pos[:, 1] - 1.0 + off_y + scale * 1.33 * 0.5], axis=-1
+    )[:, None, :]
+    r0, c0 = pix(bcenter, 8)
+    rgbp, a = C.stamps_from_pixel_bank(banks["bunny"], bvar, r0, c0)
+    img = C.blend_premul(img, rgbp, a)
+
+    # ---- compass HUD (screen space, jumper.cpp:473-509) ----
+    crgb_np, ca_np = _compass_overlay(C.OBS)
+    crgb = jnp.asarray(crgb_np, jnp.bfloat16)
+    ca = jnp.asarray(ca_np, jnp.bfloat16)
+    img = img * (1.0 - ca) + crgb
+
+    cs = 200.0 * ZOOM
+    offx, offy = -32.0 * ZOOM, 32.0 * ZOOM
+    to_goal = level.goal_pos - states.pos  # [N, 2]
+    dist = jnp.sqrt(to_goal[:, 0] ** 2 + to_goal[:, 1] ** 2)
+    dinv = 1.0 / jnp.maximum(1e-4, dist)
+    dirx, diry = to_goal[:, 0] * dinv, to_goal[:, 1] * dinv
+    angle = jnp.arctan2(to_goal[:, 1], to_goal[:, 0])
+    nvar = jnp.mod(
+        jnp.round(angle * (NEEDLE_BINS / (2 * np.pi))).astype(jnp.int32),
+        NEEDLE_BINS,
+    )[:, None]
+    # needle center in screen px: top-left + (cs*0.25, cs*0.05)
+    ncx = C.OBS - cs * 0.75 + offx + cs * 0.25 * dirx + cs * 0.25
+    ncy = cs * 0.5 + offy + cs * 0.25 * diry + cs * 0.05
+    r0 = jnp.round(ncy - 16.0).astype(jnp.int32)[:, None]
+    c0 = jnp.round(ncx - 16.0).astype(jnp.int32)[:, None]
+    rgbp, a = C.stamps_from_pixel_bank(banks["needle"], nvar, r0, c0)
+    img = C.blend_premul(img, rgbp, a)
+
+    obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    return jnp.transpose(obs, (0, 2, 3, 1))

@@ -85,6 +85,12 @@ def _to_u8(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
 
 
+def sprite_rgba(name: str) -> np.ndarray:
+    """Raw registered sprite texels, uint8 [S, S, 4] (host-side helper
+    for pre-rasterized overlays, e.g. jumper's screen-space compass)."""
+    return _to_u8(_REGISTRY[name]())
+
+
 def _textured_tile(name: str, base, border=None, border_px=2) -> np.ndarray:
     """Opaque tile: base color modulated by noise, optional darker border."""
     img = _blank()

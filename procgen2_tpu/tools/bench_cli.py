@@ -16,7 +16,10 @@ import time
 
 
 def bench_game(game: str, num_envs: int = 4096, num_levels: int = 1024,
-               T: int = 8, iters: int = 20, **config) -> dict:
+               T: int = 8, iters: int = 20, profile_dir: str | None = None,
+               **config) -> dict:
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
@@ -49,11 +52,18 @@ def bench_game(game: str, num_envs: int = 4096, num_levels: int = 1024,
     jax.block_until_ready(bank2)
     t_gen = time.perf_counter() - t_gen0
 
-    start = time.perf_counter()
-    for _ in range(iters):
-        state, k, chk, _ = rollout(bank, state, k)
-    int(chk)  # host readback syncs the stream
-    elapsed = time.perf_counter() - start
+    # SURVEY.md §5 tracing: optional jax.profiler trace of the timed loop
+    # (the reference's only instrument is game_test.py:17-30's FPS EMA)
+    trace = (
+        jax.profiler.trace(f"{profile_dir}/{game}")
+        if profile_dir else contextlib.nullcontext()
+    )
+    with trace:
+        start = time.perf_counter()
+        for _ in range(iters):
+            state, k, chk, _ = rollout(bank, state, k)
+        int(chk)  # host readback syncs the stream
+        elapsed = time.perf_counter() - start
 
     steps = num_envs * T * iters
     return dict(
@@ -73,12 +83,17 @@ def main(argv=None):
     parser.add_argument("--num-envs", type=int, default=4096)
     parser.add_argument("--num-levels", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="emit a jax.profiler trace of the timed loop under DIR "
+             "(view with tensorboard/xprof)",
+    )
     args = parser.parse_args(argv)
 
     games = [args.game] if args.game else list(GAMES)
     for g in games:
         r = bench_game(g, num_envs=args.num_envs, num_levels=args.num_levels,
-                       iters=args.iters)
+                       iters=args.iters, profile_dir=args.profile)
         print(json.dumps(r))
 
 

@@ -98,3 +98,22 @@ def test_observation_renders(env, bank):
     assert obs.shape == (4, 64, 64, 3) and obs.dtype == np.uint8
     # Non-degenerate image: some variation per env
     assert (obs.std(axis=(1, 2, 3)) > 1.0).all()
+
+
+def test_fast_path_matches_reference_renderer(env, bank):
+    """observe_batch (stamps + themed tile matmuls) vs vmapped observe.
+
+    Stamps are pixel-snapped and overlapping stamps blend additively, so
+    parity is statistical: identical scenes except ~a-pixel of sprite
+    rim (measured frac>8 ~= 0.2%)."""
+    from procgen2_tpu.games import climber
+
+    state, _ = env.reset(bank, jax.random.key(1), num_envs=8)
+    for i in range(12):
+        a = jax.random.randint(jax.random.key(100 + i), (8,), 0, 15)
+        state, _ = env.step(bank, state, a)
+    ref = jax.vmap(climber.observe, in_axes=(None, 0))(env.cfg, state.game)
+    fast = climber.observe_batch(env.cfg, state.game)
+    d = np.abs(np.asarray(ref, np.int32) - np.asarray(fast, np.int32))
+    assert d.mean() < 1.0
+    assert (d > 8).mean() < 0.01

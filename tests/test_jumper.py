@@ -145,3 +145,20 @@ def test_memory_mode():
     assert bank.grid.shape == (2, 45, 45)
     # memory mode: no spikes (spike_prob 0, tilemap.cpp:205)
     assert not np.asarray(bank.spike_grid).any()
+
+
+def test_fast_path_matches_reference_renderer(env, bank):
+    """observe_batch vs vmapped observe: identical scenes up to stamp
+    pixel snapping, particle-size/needle-angle quantization, and the
+    off-frame distance bar (a no-op at 64 px — jumper.cpp:503-509)."""
+    from procgen2_tpu.games import jumper
+
+    state, _ = env.reset(bank, jax.random.key(1), num_envs=8)
+    for i in range(12):
+        a = jax.random.randint(jax.random.key(100 + i), (8,), 0, 15)
+        state, _ = env.step(bank, state, a)
+    ref = jax.vmap(jumper.observe, in_axes=(None, 0))(env.cfg, state.game)
+    fast = jumper.observe_batch(env.cfg, state.game)
+    d = np.abs(np.asarray(ref, np.int32) - np.asarray(fast, np.int32))
+    assert d.mean() < 1.5
+    assert (d > 8).mean() < 0.015

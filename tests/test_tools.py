@@ -89,3 +89,21 @@ def test_window_resolution_render():
     # a second env index renders its own scene
     f1 = np.asarray(env.render(state, size=128, env_index=1))
     assert f1.shape == (128, 128, 3)
+
+
+def test_gym_adapter_terminal_frame_semantics():
+    """The step returning terminated=True shows the *terminal* scene and
+    does not auto-reset (reference: episode reset is the caller's job,
+    game_test.py:38-40). Discriminator: maze's step-counter timeout keeps
+    flagging terminated on the dead world, while an auto-reset would
+    clear it."""
+    env = pg.GymEnv("maze", mode="easy", num_levels=8, seed=0, timeout=5)
+    env.reset(seed=3)
+    term = False
+    for _ in range(5):
+        obs, _, term, _, _ = env.step(4)  # NOOP: stand on the start cell
+    assert term  # timeout-as-terminated quirk (maze.cpp:49-50)
+    _, _, term2, _, _ = env.step(4)
+    assert term2  # no auto-reset: t counts past the timeout
+    obs3, _ = env.reset()
+    assert obs3["screen"].shape == (64, 64, 3)
