@@ -42,15 +42,20 @@ def _game_module(name: str):
     return importlib.import_module(f".games.{name}", __name__)
 
 
-def make(game: str, **config) -> Environment:
+def make(game, **config) -> Environment:
     """Create an Environment for `game`, forwarding config kwargs.
 
     The counterpart of loading a per-game shared library through the CEnv
     ABI (`cenv/cenv.py:152-209`) — except config here maps to each game's
     frozen Config dataclass (runtime-selectable difficulty modes that the
     reference left compile-time only, SURVEY.md §5 "Config / flag system").
+
+    `game` is a built-in name from GAMES *or any module* implementing the
+    game-module protocol (`core/env.py:16-24`) — the ABI let users load
+    arbitrary conforming .so files (`cenv/test_env.c`); here arbitrary
+    conforming modules plug in the same way (see `examples/wave_game.py`).
     """
-    mod = _game_module(game)
+    mod = game if not isinstance(game, str) else _game_module(game)
     cfg = mod.Config(**config)
     return Environment(mod, cfg)
 
