@@ -131,8 +131,10 @@ def record_fixture(game: str, lib_path: str, out: str, steps: int = 200,
     """Record a reference-.so trajectory into an .npz fixture.
 
     Saved keys: game, seed, actions i32[T], frames u8[T, 64, 64, 3],
-    rewards f32[T], terminated bool[T]. Usable later (no .so required)
-    via `run_fixture_diff` / `--fixture`.
+    rewards f32[T], terminated bool[T]. The frame stored at a terminal
+    step is the reference's *terminal* frame (the engine renders before
+    the manual reset — SURVEY.md §3.3, game_test.py:38-40). Usable later
+    (no .so required) via `run_fixture_diff` / `--fixture`.
     """
     from .cenv_loader import ReferenceEnv
 
@@ -159,47 +161,117 @@ def record_fixture(game: str, lib_path: str, out: str, steps: int = 200,
     )
 
 
-def run_fixture_diff(fixture_path: str, **config):
-    """Replay a recorded reference fixture through the JAX engine on the
-    *reference's own level* (mt1993-oracle-predicted, reference_levels)
-    and report reward/termination agreement plus a pixel report.
+def _engine_replay(game: str, seed: int, actions, episodes: str = "first",
+                   **config):
+    """Replay `actions` through the JAX engine on the oracle-pinned
+    reference level for `seed`, with the reference's episode semantics.
 
-    This is the recorded-fixture counterpart of `run_difference`: the
-    oracle pins the level layout to the reference seed, so frames are
-    comparable scene-for-scene (pixel-identical only with the PNG asset
-    overlay installed, render/png_assets.py).
+    Uses `step_raw` (no auto-reset) so the step that terminates returns
+    the *terminal* state and frame — matching what `record_fixture`
+    stores — then resets explicitly before the next action (the caller's
+    job in the reference, game_test.py:38-40). Episode `e` resets with
+    `fold_in(key(seed), e)`, so replays are bit-reproducible.
+
+    episodes="first": stop after the first terminal step (a
+    reference-recorded fixture reseeds follow-on episodes from its
+    *continued* mt19937 state, which the level oracle does not track —
+    comparisons past the first boundary would be spurious).
+    episodes="all": keep replaying (valid for engine-recorded fixtures,
+    where both sides re-gather the same pinned level).
+
+    Returns (frames u8[T', 64, 64, 3], rewards f32[T'], terms bool[T'])
+    with T' <= len(actions).
     """
     import jax
     import jax.numpy as jnp
 
     from .. import make
     from .reference_levels import reference_bank
-    from ..utils.tree import bank_gather
 
+    env = make(game, **config)
+    bank = jax.tree.map(jnp.asarray, reference_bank(game, [seed], **config))
+    base = jax.random.key(seed)
+    state, _ = env.reset(bank, jax.random.fold_in(base, 0), num_envs=1)
+
+    frames, rewards, terms = [], [], []
+    episode = 0
+    for a in actions:
+        state, ts = env.step_raw(state, jnp.array([int(a)], jnp.int32))
+        frames.append(np.asarray(ts.obs[0]))
+        rewards.append(float(ts.reward[0]))
+        terms.append(bool(ts.terminated[0]))
+        if terms[-1]:
+            episode += 1
+            if episodes == "first":
+                break
+            state, _ = env.reset(
+                bank, jax.random.fold_in(base, episode), num_envs=1
+            )
+    return (np.stack(frames), np.asarray(rewards, np.float32),
+            np.asarray(terms, bool))
+
+
+def record_engine_fixture(game: str, out: str, actions, seed: int = 0,
+                          **config) -> None:
+    """Record an *engine* trajectory into the same .npz fixture format.
+
+    Counterpart of `record_fixture` with the JAX engine as the source:
+    golden fixtures for renderer/trajectory regression tests, recorded
+    on the oracle-pinned reference level with identical terminal-frame
+    semantics. `run_fixture_diff(..., episodes="all")` on such a fixture
+    must report 100% agreement and zero pixel diff.
+    """
+    actions = np.asarray(actions, np.int32)
+    frames, rewards, terms = _engine_replay(
+        game, seed, actions, episodes="all", **config
+    )
+    np.savez_compressed(
+        out, game=game, seed=seed, actions=actions,
+        frames=frames.astype(np.uint8), rewards=rewards, terminated=terms,
+    )
+
+
+def run_fixture_diff(fixture_path: str, episodes: str = "first", **config):
+    """Replay a recorded fixture through the JAX engine on the
+    *reference's own level* (mt19937-oracle-predicted, reference_levels)
+    and report reward/termination agreement plus a pixel report.
+
+    This is the recorded-fixture counterpart of `run_difference`: the
+    oracle pins the level layout to the reference seed, so frames are
+    comparable scene-for-scene. Terminal steps compare terminal frames
+    (`step_raw` replay); by default the comparison stops at the
+    fixture's first episode boundary — see `_engine_replay` for why.
+
+    Expected pixel-diff budget vs a reference-recorded fixture (each
+    deviation documented at its source):
+      * procedural art vs the reference PNGs unless the overlay is
+        installed (render/png_assets.py) — dominant term;
+      * nearest-neighbor sprite resampling vs SDL's software scaler
+        (render/compositor.py);
+      * rotated sprites quantized to pre-rasterized stamp banks:
+        jumper's compass needle 64 bins (games/jumper.py), caveflyer/
+        bossfight ship rotation variants (games/caveflyer.py).
+    Reward/termination agreement has no budget: it must be 1.0.
+    """
     fx = np.load(fixture_path, allow_pickle=False)
     game = str(fx["game"])
     seed = int(fx["seed"])
     actions = fx["actions"]
 
-    env = make(game, **config)
-    bank = jax.tree.map(jnp.asarray, reference_bank(game, [seed], **config))
-    state, ts = env.reset(bank, jax.random.key(seed), num_envs=1)
-
-    frames, rewards, terms = [], [], []
-    for a in actions:
-        state, ts = env.step(bank, state, jnp.array([int(a)], jnp.int32))
-        frames.append(np.asarray(ts.obs[0]))
-        rewards.append(float(ts.reward[0]))
-        terms.append(bool(ts.terminated[0]))
-    pix = compare_frames(np.stack(frames), fx["frames"])
-    reward_match = float(
-        np.mean(np.isclose(np.asarray(rewards, np.float32), fx["rewards"]))
+    frames, rewards, terms = _engine_replay(
+        game, seed, actions, episodes=episodes, **config
     )
-    term_match = float(np.mean(np.asarray(terms, bool) == fx["terminated"]))
+    n = frames.shape[0]
+    pix = compare_frames(frames, fx["frames"][:n])
+    reward_match = float(
+        np.mean(np.isclose(rewards, fx["rewards"][:n]))
+    )
+    term_match = float(np.mean(terms == fx["terminated"][:n]))
     return dict(
         reward_agreement=reward_match,
         termination_agreement=term_match,
         pixel=pix,
+        steps_compared=n,
     )
 
 
@@ -213,6 +285,9 @@ def main(argv=None):
                         help="record a reference fixture (needs --lib)")
     parser.add_argument("--fixture", metavar="IN.npz",
                         help="compare against a recorded fixture (no .so)")
+    parser.add_argument("--all-episodes", action="store_true",
+                        help="replay past episode boundaries (engine-"
+                             "recorded fixtures only; see run_fixture_diff)")
     parser.add_argument("--assets", metavar="DIR",
                         help="overlay reference PNG assets before comparing")
     args = parser.parse_args(argv)
@@ -226,7 +301,10 @@ def main(argv=None):
         print(f"recorded {args.steps} steps -> {args.record}")
         return
     if args.fixture:
-        rep = run_fixture_diff(args.fixture)
+        rep = run_fixture_diff(
+            args.fixture, episodes="all" if args.all_episodes else "first"
+        )
+        print(f"steps compared:        {rep['steps_compared']}")
         print(f"reward agreement:      {rep['reward_agreement'] * 100:.1f}%")
         print(f"termination agreement: {rep['termination_agreement'] * 100:.1f}%")
         print(rep["pixel"])
