@@ -74,6 +74,7 @@ class Environment:
         # Jit entry points once per Environment instance; `num_envs` /
         # `num_levels` are static (they set array shapes).
         self.reset = jax.jit(self._reset, static_argnames="num_envs")
+        self.reset_pinned = jax.jit(self._reset_pinned)
         self.step = jax.jit(self._step, static_argnames="render")
         self.step_raw = jax.jit(self._step_raw, static_argnames="render")
         self.observe = jax.jit(self._observe)
@@ -119,6 +120,34 @@ class Environment:
             ep_length=jnp.int32(0),
             rng=k_state,
         )
+
+    def _reset_pinned(self, bank, key, fold_ids=None):
+        """Reset env `i` on level `i` of the bank (num_envs = bank size).
+
+        The deterministic-assignment counterpart of `_reset`'s random
+        level draw: parity suites and fixtures pin each lane to a known
+        (oracle-predicted) reference level. `fold_ids` (i32[num],
+        default arange) names each lane: lane i's key is
+        ``fold_in(key, fold_ids[i])``, so passing the reference seed ids
+        makes a lane's trajectory independent of its batch position.
+        Returns the EnvState without rendering — parity drivers step
+        with `render=False` and render on demand.
+        """
+        num = jax.tree.leaves(bank)[0].shape[0]
+        if fold_ids is None:
+            fold_ids = jnp.arange(num, dtype=jnp.uint32)
+
+        def one(level, i):
+            k_reset, k_state = jax.random.split(jax.random.fold_in(key, i))
+            gs = self.game.reset(self.cfg, level, k_reset)
+            return EnvState(
+                game=gs,
+                ep_return=jnp.float32(0.0),
+                ep_length=jnp.int32(0),
+                rng=k_state,
+            )
+
+        return jax.vmap(one)(bank, fold_ids)
 
     def _observe_batch(self, game_states):
         """Batched rendering; games may provide an `observe_batch` that

@@ -1,0 +1,241 @@
+"""Scripted bots + independent reward predictors for the parity suite.
+
+BASELINE.md demands bit-exact fixed-seed *episode-return* parity. For
+each game this module provides (a) a route/action planner that scripts a
+scoring trajectory from the oracle-pinned reference layout alone, and
+(b) where the game's kinematics allow it, an independent numpy
+re-derivation of the reference's reward/termination rules
+(games/<g>/<g>.cpp step loops) that predicts the exact per-step reward
+sequence for those scripted actions — so the parity tests compare the
+JAX engine against a *second implementation* of the reference rules,
+not against itself.
+
+All coordinates are render coords ([row, col]; row 0 at the top) unless
+noted — the same frame the engine Levels use (tools/reference_levels.py).
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .scripted import DOWN, LEFT, NOOP, RIGHT, UP, bfs_cell_path
+
+f32 = np.float32
+
+
+# ---------------------------------------------------------------------------
+# chaser (games/chaser/chaser.cpp:296-312, common_systems.cpp:305-444)
+# ---------------------------------------------------------------------------
+
+CHASER_STEPS_PER_CELL = 5  # speed 0.2/env-step, 1 unit per cell
+
+
+def _bfs_dist(free: np.ndarray, src: Tuple[int, int]) -> np.ndarray:
+    H, W = free.shape
+    dist = np.full((H, W), -1, np.int32)
+    dist[src] = 0
+    q = deque([src])
+    while q:
+        y, x = q.popleft()
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < H and 0 <= nx < W and free[ny, nx] \
+                    and dist[ny, nx] < 0:
+                dist[ny, nx] = dist[y, x] + 1
+                q.append((ny, nx))
+    return dist
+
+
+def chaser_full_route(level) -> List[Tuple[int, int]]:
+    """Cell route visiting EVERY point (pellet + orb) cell.
+
+    Nearest-unvisited chaining over BFS distances; cells crossed en
+    route count as visited (the 0.8-unit pellet pickup fires for every
+    cell entered, games/chaser/common_systems.cpp:88-101). Returns the
+    full cell sequence starting at the agent spawn.
+    """
+    wall = np.asarray(level.wall)
+    free = ~wall
+    D = wall.shape[0]
+    pellets = np.asarray(level.point_grid0)
+    targets = {
+        (r, c) for r in range(D) for c in range(D) if pellets[r, c]
+    }
+    for slot in range(level.orb_exists.shape[0]):
+        if level.orb_exists[slot]:
+            ox, oy = level.orb_pos[slot]
+            targets.add((int(oy), int(ox)))
+
+    cur = (int(level.agent_pos[1]), int(level.agent_pos[0]))
+    route = [cur]
+    targets.discard(cur)
+    while targets:
+        dist = _bfs_dist(free, cur)
+        best = min(
+            targets,
+            key=lambda t: (int(dist[t]) if dist[t] >= 0 else 1 << 30, t),
+        )
+        if dist[best] < 0:  # unreachable point cell: generation bug
+            raise AssertionError(f"unreachable point cell {best}")
+        seg = bfs_cell_path((~free).astype(np.int8), cur, best)
+        assert seg is not None
+        for cell in seg[1:]:
+            route.append(cell)
+            targets.discard(cell)
+        cur = best
+    return route
+
+
+def route_to_actions(route: Sequence[Tuple[int, int]],
+                     steps_per_cell: int) -> List[int]:
+    """Hold the segment direction for `steps_per_cell` env steps per
+    transition (queued-turn movement engages at cell centers)."""
+    acts: List[int] = []
+    for (y0, x0), (y1, x1) in zip(route, route[1:]):
+        if x1 > x0:
+            a = RIGHT
+        elif x1 < x0:
+            a = LEFT
+        elif y1 > y0:
+            a = DOWN
+        else:
+            a = UP
+        acts.extend([a] * steps_per_cell)
+    return acts
+
+
+class _ChaserSim:
+    """Numpy f32 mirror of the engine's agent + point systems
+    (games/chaser.py:_agent_substep/_collect_points, themselves cited
+    line-by-line to games/chaser/common_systems.cpp). Enemies are NOT
+    simulated — predictions are valid only for trajectories where no
+    enemy contact occurs (the parity seeds are chosen so)."""
+
+    SPEED = f32(0.2)  # common_systems.cpp:309
+    DT = f32(0.25)  # chaser.cpp:44-45
+    EPS = f32(0.2) * f32(0.25)
+    INPUT_RESET = f32(2.5)  # common_systems.cpp:310
+
+    def __init__(self, level):
+        self.wall = np.asarray(level.wall)
+        self.D = self.wall.shape[0]
+        self.pos = np.asarray(level.agent_pos, f32).copy()
+        self.vel = np.zeros(2, f32)
+        self.next_vel = np.zeros(2, f32)
+        self.input_timer = f32(0.0)
+        self.pellets = np.asarray(level.point_grid0).copy()
+        self.orb_pos = np.asarray(level.orb_pos, f32)
+        self.orb_live = np.asarray(level.orb_exists).copy()
+
+    def _wall_at(self, cx: int, ry: int) -> bool:
+        if 0 <= cx < self.D and 0 <= ry < self.D:
+            return bool(self.wall[ry, cx])
+        return True
+
+    def _agent_substep(self, a: int) -> None:
+        mx = f32((a == 7) - (a == 1))
+        my = f32((a == 3) - (a == 5))
+        if mx != 0.0:
+            my = f32(0.0)
+        if mx != 0.0 or my != 0.0:
+            self.next_vel = np.array([mx, my], f32)
+            self.input_timer = f32(0.0)
+
+        px, py = self.pos
+        ix, iy = int(px), int(py)
+        y_cent = abs(py - f32(iy + 0.5)) <= self.EPS
+        x_cent = abs(px - f32(ix + 0.5)) <= self.EPS
+        nv = self.next_vel
+        turn_x = y_cent and (
+            (nv[0] > 0 and not self._wall_at(ix + 1, iy))
+            or (nv[0] < 0 and not self._wall_at(ix - 1, iy))
+        )
+        turn_y = x_cent and (
+            (nv[1] > 0 and not self._wall_at(ix, iy + 1))
+            or (nv[1] < 0 and not self._wall_at(ix, iy - 1))
+        )
+        if turn_x:
+            py = f32(iy + 0.5)
+        if turn_y:
+            px = f32(ix + 0.5)
+        if turn_x or turn_y:
+            self.vel = nv.copy()
+
+        ix, iy = int(px), int(py)
+        x_cent = abs(px - f32(ix + 0.5)) <= self.EPS
+        y_cent = abs(py - f32(iy + 0.5)) <= self.EPS
+        v = self.vel
+        stop_x = x_cent and (
+            (v[0] < 0 and self._wall_at(ix - 1, iy))
+            or (v[0] > 0 and self._wall_at(ix + 1, iy))
+        )
+        stop_y = y_cent and (
+            (v[1] < 0 and self._wall_at(ix, iy - 1))
+            or (v[1] > 0 and self._wall_at(ix, iy + 1))
+        )
+        if stop_x:
+            px = f32(ix + 0.5)
+            self.vel = self.vel * np.array([0, 1], f32)
+        if stop_y:
+            py = f32(iy + 0.5)
+            self.vel = self.vel * np.array([1, 0], f32)
+
+        px = f32(px + f32(self.vel[0] * self.SPEED) * self.DT)
+        py = f32(py + f32(self.vel[1] * self.SPEED) * self.DT)
+        self.pos = np.array([px, py], f32)
+
+        if self.input_timer >= self.INPUT_RESET:
+            self.next_vel = np.zeros(2, f32)
+        else:
+            self.input_timer = f32(self.input_timer + self.DT)
+
+    def _collect(self) -> Tuple[int, int]:
+        ax, ay = self.pos
+        centers = np.arange(self.D, dtype=f32) + f32(0.5)
+        hit = (
+            self.pellets
+            & (np.abs(ax - centers) < f32(0.8))[None, :]
+            & (np.abs(ay - centers) < f32(0.8))[:, None]
+        )
+        delta = int(hit.sum())
+        self.pellets &= ~hit
+        for s in range(self.orb_live.shape[0]):
+            if self.orb_live[s] \
+                    and abs(f32(ax - self.orb_pos[s, 0])) < f32(1.0) \
+                    and abs(f32(ay - self.orb_pos[s, 1])) < f32(1.0):
+                self.orb_live[s] = False
+                delta += 1
+        available = int(self.pellets.sum()) + int(self.orb_live.sum())
+        return delta, available
+
+    def step(self, a: int) -> Tuple[f32, bool]:
+        """One env step = 4 sub-steps, reward last-write-wins, break on
+        terminal (chaser.cpp:296-312)."""
+        reward = f32(0.0)
+        for _ in range(4):
+            self._agent_substep(a)
+            delta, available = self._collect()
+            reward = f32(
+                f32(f32(delta) * f32(0.04)) + f32(available == 0) * f32(10.0)
+            )
+            if available == 0:
+                return reward, True
+        return reward, False
+
+
+def chaser_predict(level, actions: Sequence[int]):
+    """Predict the exact per-step (reward, terminated) sequence for
+    `actions` on `level`, independent of the JAX engine. Valid only
+    while no enemy contact occurs. Returns (rewards f32[T],
+    terminated bool[T]); stops early at completion."""
+    sim = _ChaserSim(level)
+    rewards, terms = [], []
+    for a in actions:
+        r, t = sim.step(int(a))
+        rewards.append(r)
+        terms.append(t)
+        if t:
+            break
+    return np.asarray(rewards, f32), np.asarray(terms, bool)
