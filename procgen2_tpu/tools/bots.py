@@ -225,6 +225,138 @@ class _ChaserSim:
         return reward, False
 
 
+# ---------------------------------------------------------------------------
+# climber (games/climber/climber.cpp:339-355, common_systems.cpp:184-269)
+# ---------------------------------------------------------------------------
+
+JUMP_L, JUMP_N, JUMP_R = 2, 5, 8  # jump bits of the 3x3 action grid
+
+
+class ClimberBot:
+    """Closed-loop ascent bot: walk to each platform's crystal, then to
+    a launch cell, running-jump onto the next platform; repeat to the
+    top. Reads only the engine state it is driving (pos/vel/on_ground/
+    point_taken) — the reward assertions stay layout-derived."""
+
+    def __init__(self, level):
+        grid = np.asarray(level.grid)  # [64, 20] render rows
+        H = grid.shape[0]
+        # Platforms: WALL_TOP rows above the floor (row H-1); one per row
+        # (generation increases curr_y by >=3 per platform).
+        self.plat_rows: List[int] = []
+        self.plat_cells = {}
+        for r in range(H - 2, 0, -1):
+            cols = np.nonzero(grid[r] == 1)[0]  # WALL_TOP == 1
+            if len(cols) and not (grid[r][1:-1] == 2).any():
+                self.plat_rows.append(r)
+                self.plat_cells[r] = cols
+        # crystal per platform row (crystal sits one unit above the row)
+        self.crystals = {}
+        pts = np.asarray(level.point_pos)
+        for s in range(level.point_exists.shape[0]):
+            if level.point_exists[s]:
+                # crystal center y = plat_row - 0.5, so +0.5 -> plat row
+                r = int(pts[s, 1] + 0.5)
+                self.crystals[r] = (s, float(pts[s, 0]))
+        self.stage = 0  # index into plat_rows (next platform to reach)
+        self.phase = "climb"  # climb -> (crystal) -> climb ...
+        self.floor_row = H - 1
+
+    def _launch_plan(self, cur_row: int, nxt_row: int):
+        """(launch_x, land_x): launch column on cur_row that is NOT
+        covered by the next platform (tiles are FULL colliders — jumping
+        from directly below bumps the head), as close as possible to a
+        landing cell of nxt_row."""
+        nxt = set(int(c) for c in self.plat_cells[nxt_row])
+        if cur_row == self.floor_row:
+            cur = list(range(1, 19))
+        else:
+            cur = [int(c) for c in self.plat_cells[cur_row]]
+        best = None
+        for xc in cur:
+            if xc in nxt:
+                continue
+            for xn in nxt:
+                d = abs(xc - xn)
+                if best is None or d < best[0]:
+                    best = (d, xc, xn)
+        if best is None:  # fully covered (cannot happen: nxt excludes
+            xc = cur[0]  # the previous curr_x) — fall back to the edge
+            xn = min(nxt)
+        else:
+            _, xc, xn = best
+        return float(xc) + 0.5, float(xn) + 0.5
+
+    @staticmethod
+    def _walk(x: float, vx: float, target: float,
+              tol: float = 0.1) -> Optional[int]:
+        """Proportional-speed ground controller: returns the action to
+        approach `target` without overshoot-oscillation, or None once
+        settled (|x-target| <= tol and nearly stopped)."""
+        dx = target - x
+        if abs(dx) <= tol:
+            if vx > 0.06:
+                return LEFT
+            if vx < -0.06:
+                return RIGHT
+            return None
+        desired = max(-0.5, min(0.5, dx * 0.7))
+        if vx < desired - 0.04:
+            return RIGHT
+        if vx > desired + 0.04:
+            return LEFT
+        return NOOP
+
+    def _standing_stage(self, y: float) -> Optional[int]:
+        """Stage implied by the row being stood on (self-healing after a
+        missed jump): index of the next platform above that row."""
+        row = int(round(y))
+        if row == self.floor_row:
+            return 0
+        for k, r in enumerate(self.plat_rows):
+            if r == row:
+                return k + 1
+        return None
+
+    def act(self, pos, vel, on_ground, point_taken) -> int:
+        x, y = float(pos[0]), float(pos[1])
+        if on_ground:
+            st = self._standing_stage(y)
+            if st is not None:
+                self.stage = min(st, len(self.plat_rows))
+                # collect this platform's crystal before climbing on
+                if st >= 1:
+                    row = self.plat_rows[st - 1]
+                    crys = self.crystals.get(row)
+                    if crys is not None and not point_taken[crys[0]]:
+                        a = self._walk(x, float(vel[0]), crys[1], tol=0.3)
+                        return NOOP if a is None else a
+        if self.stage >= len(self.plat_rows):
+            return NOOP
+        target_row = self.plat_rows[self.stage]
+        cur_row = self.floor_row if self.stage == 0 \
+            else self.plat_rows[self.stage - 1]
+        launch_x, land_x = self._launch_plan(cur_row, target_row)
+        # aim just past the landing cell's near edge (enough rect overlap
+        # for the two-pass resolver to land the fall)
+        aim_x = land_x + (0.25 if launch_x > land_x else -0.25)
+        if on_ground:
+            a = self._walk(x, float(vel[0]), launch_x)
+            if a is not None:
+                return a
+            return JUMP_N  # settled on the launch column: straight up
+        # airborne: hold the (clear) launch column while the body is
+        # below the platform top — drifting early bumps the tile side —
+        # then steer over the landing cell
+        if y >= target_row - 0.05:  # feet not yet above the top surface
+            if abs(x - launch_x) > 0.1:
+                return RIGHT if launch_x > x else LEFT
+            return NOOP
+        if abs(x - aim_x) > 0.1:
+            return RIGHT if aim_x > x else LEFT
+        return NOOP
+
+
 def chaser_predict(level, actions: Sequence[int]):
     """Predict the exact per-step (reward, terminated) sequence for
     `actions` on `level`, independent of the JAX engine. Valid only

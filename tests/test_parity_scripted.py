@@ -64,6 +64,38 @@ def _run_batched(env, bank_np, seeds, actions_per_lane, render=False):
 CHASER_SEEDS = [5, 17, 20, 21, 28, 34, 35, 36, 43, 46, 59, 71, 83, 84, 88]
 
 
+def _run_closed_loop(env, bank_np, seeds, make_bot, state_reader,
+                     max_steps=1200):
+    """Drive per-lane closed-loop bots; returns (R, D, T) like
+    `_run_batched` plus the per-step action log."""
+    N = len(seeds)
+    levels = [_level_i(bank_np, i) for i in range(N)]
+    bots_ = [make_bot(l) for l in levels]
+    bank = jax.tree.map(jnp.asarray, bank_np)
+    state = env.reset_pinned(
+        bank, jax.random.key(123), jnp.asarray(seeds, jnp.uint32)
+    )
+    R = np.zeros((max_steps, N), np.float32)
+    D = np.zeros((max_steps, N), bool)
+    done = np.zeros(N, bool)
+    T = max_steps
+    for t in range(max_steps):
+        args = state_reader(state.game)
+        acts = np.array(
+            [bots_[i].act(*[a[i] for a in args]) if not done[i] else bots.NOOP
+             for i in range(N)],
+            np.int32,
+        )
+        state, ts = env.step_raw(state, jnp.asarray(acts), render=False)
+        R[t] = np.asarray(ts.reward)
+        D[t] = np.asarray(ts.terminated)
+        done |= D[t]
+        if done.all():
+            T = t + 1
+            break
+    return R[:T], D[:T], T
+
+
 def test_chaser_scripted_full_clear_return_parity():
     env = pg.make("chaser", mode="easy")
     bank_np = reference_bank("chaser", CHASER_SEEDS)
@@ -110,3 +142,44 @@ def test_chaser_scripted_full_clear_return_parity():
             f"seed {seed}: reward sequence mismatch at "
             f"{np.nonzero(R[:n, i] != rew)[0][:5]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# climber: scripted ascent — +1 per crystal, +10 on collecting all
+# ---------------------------------------------------------------------------
+
+# Seeds whose closed-loop ascent reaches the top crystal without enemy
+# contact under the pinned reset keys (searched; deterministic).
+CLIMBER_SEEDS = [0, 5, 7, 9, 11, 12, 13, 17, 18, 19, 22, 23, 24, 25, 28]
+
+
+def test_climber_scripted_ascent_return_parity():
+    env = pg.make("climber", easy_mode=True)
+    bank_np = reference_bank("climber", CLIMBER_SEEDS, easy_mode=True)
+
+    R, D, T = _run_closed_loop(
+        env, bank_np, CLIMBER_SEEDS,
+        bots.ClimberBot,
+        lambda gs: (
+            np.asarray(gs.pos), np.asarray(gs.vel),
+            np.asarray(gs.on_ground), np.asarray(gs.point_taken),
+        ),
+    )
+    for i, seed in enumerate(CLIMBER_SEEDS):
+        n_crystals = int(np.asarray(_level_i(bank_np, i).point_exists).sum())
+        d = D[:, i]
+        assert d.any(), f"seed {seed}: never completed"
+        end = int(np.argmax(d))
+        r = R[: end + 1, i]
+        # Completion step: final crystal (+1) and all-collected (+10)
+        # land in the same sub-step — exactly 11.0f (climber.cpp:348-350)
+        assert r[end] == f32(11.0), f"seed {seed}: end reward {r[end]}"
+        # Every other scoring step is an exact whole crystal count; the
+        # sub-step last-write-wins quirk may hide intermediate crystals
+        # (climber.cpp:339-355) but never invents rewards.
+        mid = r[:end]
+        nz = mid[mid != 0.0]
+        assert all(v in (f32(1.0), f32(2.0)) for v in nz), (seed, nz)
+        assert len(nz) <= n_crystals - 1
+        # no termination before completion (no enemy contact)
+        assert not d[:end].any()
