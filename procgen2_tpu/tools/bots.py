@@ -26,6 +26,69 @@ f32 = np.float32
 
 
 # ---------------------------------------------------------------------------
+# coinrun (games/coinrun/coinrun.cpp:357-371, common_systems.cpp:121-252)
+# ---------------------------------------------------------------------------
+
+
+class CoinrunBot:
+    """Run right to the coin, jumping elevation steps and pits.
+
+    Terrain is pure elevation (sections, no overhangs) with crates
+    standable from above (DOWN_ONLY) and lava/saw/mob hazards in pits
+    (games/coinrun/tilemap.cpp:97-292), so a reactive right-runner with
+    a two-column lookahead suffices; hazard-fatal seeds are filtered by
+    the search (determinism makes the pinned set stable)."""
+
+    SOLID = (1, 2, 5)  # WALL_TOP, WALL_MID, CRATE
+    LAVA = (3, 4)
+
+    def __init__(self, level):
+        self.grid = np.asarray(level.grid)
+        self.H, self.W = self.grid.shape
+        self.coin_x = float(level.coin_pos[0])
+
+    def _ground(self, col: int, y: float) -> Optional[int]:
+        """Walking-surface row for `col` near height y: topmost solid in
+        [y-6, bottom]; None for a pit floored by lava or nothing."""
+        if col >= self.W:
+            return None
+        top = max(0, int(y) - 6)
+        for r in range(top, self.H):
+            t = self.grid[r, col]
+            if t in self.SOLID:
+                return r
+            if t in self.LAVA:
+                return None
+        return None
+
+    def act(self, pos, vel, on_ground, _unused=None) -> int:
+        x, y = float(pos[0]), float(pos[1])
+        if x >= self.coin_x - 0.6:
+            return RIGHT  # touch-down on the coin column
+        if not on_ground:
+            return RIGHT  # carry every jump rightward
+        c = int(x)
+        g1 = self._ground(c + 1, y)
+        g2 = self._ground(c + 2, y)
+        # step up ahead: jump when close enough for the drift to carry
+        if g1 is not None and g1 < int(round(y)) - 0:
+            if x > c + 0.3:
+                return JUMP_R
+            return RIGHT
+        # pit ahead (no ground / lava / drop > 2): running jump from the
+        # edge once at speed
+        drop1 = None if g1 is None else g1 - int(round(y))
+        drop2 = None if g2 is None else g2 - int(round(y))
+        pit = (g1 is None or (drop1 is not None and drop1 > 2)
+               or g2 is None or (drop2 is not None and drop2 > 2))
+        if pit:
+            if vel[0] > 0.45 and x > c + 0.4:
+                return JUMP_R
+            return RIGHT
+        return RIGHT
+
+
+# ---------------------------------------------------------------------------
 # chaser (games/chaser/chaser.cpp:296-312, common_systems.cpp:305-444)
 # ---------------------------------------------------------------------------
 

@@ -183,3 +183,34 @@ def test_climber_scripted_ascent_return_parity():
         assert len(nz) <= n_crystals - 1
         # no termination before completion (no enemy contact)
         assert not d[:end].any()
+
+
+# ---------------------------------------------------------------------------
+# coinrun: run right to the coin — single +10 on the coin step
+# ---------------------------------------------------------------------------
+
+COINRUN_SEEDS = [0, 1, 2, 5, 7, 9, 11, 12, 17, 19, 22, 26, 27, 31, 33]
+
+
+def test_coinrun_scripted_run_right_return_parity():
+    env = pg.make("coinrun")
+    bank_np = reference_bank("coinrun", COINRUN_SEEDS)
+
+    R, D, T = _run_closed_loop(
+        env, bank_np, COINRUN_SEEDS,
+        bots.CoinrunBot,
+        lambda gs: (
+            np.asarray(gs.pos), np.asarray(gs.vel), np.asarray(gs.on_ground),
+        ),
+        max_steps=400,
+    )
+    for i, seed in enumerate(COINRUN_SEEDS):
+        d = D[:, i]
+        assert d.any(), f"seed {seed}: never reached the coin"
+        end = int(np.argmax(d))
+        r = R[: end + 1, i]
+        # exactly one scoring event: the coin, +10.0f, terminal
+        # (coinrun.cpp:357-371; no other reward source exists)
+        assert r[end] == f32(10.0), f"seed {seed}: end reward {r[end]}"
+        assert not r[:end].any(), f"seed {seed}: stray rewards"
+        assert not d[:end].any()
