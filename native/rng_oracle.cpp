@@ -105,7 +105,13 @@ int32_t uset_create() {
     for (int i = 0; i < kMaxSets; i++) {
         if (!g_set_used[i]) {
             g_set_used[i] = true;
-            g_sets[i].clear();
+            // Reconstruct rather than clear(): clear() keeps the grown
+            // bucket array, and _Hashtable iteration order depends on
+            // bucket count — a reused handle would replay a *different*
+            // iteration order than the reference's freshly-constructed
+            // set (games/chaser/tilemap.cpp:183, room_generator.cpp),
+            // silently corrupting every layout after the first.
+            g_sets[i] = std::unordered_set<int32_t>();
             return i;
         }
     }
@@ -114,7 +120,7 @@ int32_t uset_create() {
 
 void uset_destroy(int32_t h) {
     if (h >= 0 && h < kMaxSets) {
-        g_sets[h].clear();
+        g_sets[h] = std::unordered_set<int32_t>();
         g_set_used[h] = false;
     }
 }

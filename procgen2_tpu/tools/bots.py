@@ -89,8 +89,49 @@ class CoinrunBot:
 
 
 # ---------------------------------------------------------------------------
-# chaser (games/chaser/chaser.cpp:296-312, common_systems.cpp:305-444)
+# jumper (games/jumper/jumper.cpp:355-369, common_systems.cpp:57-201)
 # ---------------------------------------------------------------------------
+
+
+class JumperBot:
+    """Waypoint-follower along the BFS agent->goal path (the generation
+    keeps it open: room pruned to the path Moore-dilated 4x,
+    games/jumper/tilemap.cpp:176-188). Full air control (air_control=1,
+    common_systems.cpp:66) makes x track waypoints in flight; the double
+    jump (jumps_left=2, cooldown 3 env steps) climbs shafts. Spike cells
+    are excluded from the path (spikes terminate, jumper.cpp:362-364)."""
+
+    def __init__(self, level):
+        grid = np.asarray(level.grid)
+        spikes = np.asarray(level.spike_grid)
+        self.D = grid.shape[0]
+        blocked = (grid != 0) | spikes
+        a = (int(level.agent_pos[1]), int(level.agent_pos[0]))
+        g = (int(level.goal_pos[1]), int(level.goal_pos[0]))
+        self.path = bfs_cell_path(blocked.astype(np.int8), a, g)
+        self.k = 0  # next waypoint index
+
+    def act(self, pos, vel, on_ground, jumps_left, jump_timer) -> int:
+        if self.path is None:
+            return NOOP
+        x, y = float(pos[0]), float(pos[1])
+        # advance waypoints: take the furthest path cell we're inside
+        while self.k + 1 < len(self.path):
+            r, c = self.path[self.k]
+            if abs(x - (c + 0.5)) < 0.6 and abs(y - (r + 0.5)) < 0.8:
+                self.k += 1
+            else:
+                break
+        r, c = self.path[min(self.k, len(self.path) - 1)]
+        tx, ty = c + 0.5, r + 0.5
+        dx = tx - x
+        side = 0 if abs(dx) < 0.12 else (1 if dx > 0 else -1)
+        need_up = ty < y - 0.3
+        can_jump = int(jumps_left) > 0 and float(jump_timer) == 0.0
+        rising = float(vel[1]) < -0.25
+        if need_up and can_jump and (bool(on_ground) or not rising):
+            return (JUMP_L, JUMP_N, JUMP_R)[side + 1]
+        return (LEFT, NOOP, RIGHT)[side + 1]
 
 CHASER_STEPS_PER_CELL = 5  # speed 0.2/env-step, 1 unit per cell
 

@@ -214,3 +214,35 @@ def test_coinrun_scripted_run_right_return_parity():
         assert r[end] == f32(10.0), f"seed {seed}: end reward {r[end]}"
         assert not r[:end].any(), f"seed {seed}: stray rewards"
         assert not d[:end].any()
+
+
+# ---------------------------------------------------------------------------
+# jumper: BFS waypoint flight to the carrot — single +10, terminal
+# ---------------------------------------------------------------------------
+
+JUMPER_SEEDS = [0, 6, 8, 9, 11, 12, 14, 15, 19, 20, 21, 22, 25, 26, 37]
+
+
+def test_jumper_scripted_carrot_return_parity():
+    env = pg.make("jumper", mode="easy")
+    bank_np = reference_bank("jumper", JUMPER_SEEDS)
+
+    R, D, T = _run_closed_loop(
+        env, bank_np, JUMPER_SEEDS,
+        bots.JumperBot,
+        lambda gs: (
+            np.asarray(gs.pos), np.asarray(gs.vel), np.asarray(gs.on_ground),
+            np.asarray(gs.jumps_left), np.asarray(gs.jump_timer),
+        ),
+        max_steps=500,
+    )
+    for i, seed in enumerate(JUMPER_SEEDS):
+        d = D[:, i]
+        assert d.any(), f"seed {seed}: never reached the carrot"
+        end = int(np.argmax(d))
+        r = R[: end + 1, i]
+        # exactly one scoring event: the carrot, +10.0f, terminal
+        # (jumper.cpp:362-364; no spike contact on the pinned routes)
+        assert r[end] == f32(10.0), f"seed {seed}: end reward {r[end]}"
+        assert not r[:end].any(), f"seed {seed}: stray rewards"
+        assert not d[:end].any()
