@@ -20,7 +20,9 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .scripted import DOWN, LEFT, NOOP, RIGHT, UP, bfs_cell_path
+from .scripted import (
+    DOWN, LEFT, NOOP, RIGHT, UP, UP_LEFT, UP_RIGHT, bfs_cell_path,
+)
 
 f32 = np.float32
 
@@ -86,6 +88,296 @@ class CoinrunBot:
                 return JUMP_R
             return RIGHT
         return RIGHT
+
+
+# ---------------------------------------------------------------------------
+# bossfight (games/bossfight/bossfight.cpp:309-324, common_systems.cpp)
+# ---------------------------------------------------------------------------
+
+
+class BossfightBot:
+    """Kill the boss through its full phase machine: hide in a barrier's
+    shadow (barriers absorb boss bullets, common_systems.cpp:340-350)
+    while shielded, step out and volley straight-up bullets while
+    unshielded (3 HP per round, 3 rounds -> phase_index 6 = +10,
+    common_systems.cpp:199-287), dodging incoming bullets throughout.
+    Needs >=1 barrier; barrier-less seeds are filtered by the search."""
+
+    FIRE = 9
+    HALF = 2.0
+
+    def __init__(self, level):
+        self.barriers = [
+            (float(level.barrier_pos[s, 0]), float(level.barrier_pos[s, 1]))
+            for s in range(level.barrier_exists.shape[0])
+            if level.barrier_exists[s]
+        ]
+
+    def _move_toward(self, pos, tx, ty, tol=0.06) -> int:
+        dx, dy = tx - float(pos[0]), ty - float(pos[1])
+        if abs(dx) < tol and abs(dy) < tol:
+            return NOOP
+        if abs(dx) >= abs(dy):
+            return RIGHT if dx > 0 else LEFT
+        return DOWN if dy > 0 else UP
+
+    def _dodge(self, pos, bb_pos, bb_frame) -> Optional[int]:
+        """Sidestep the nearest live approaching boss bullet."""
+        x, y = float(pos[0]), float(pos[1])
+        best = None
+        for i in range(bb_pos.shape[0]):
+            if bb_frame[i] != 0.0:
+                continue
+            bx, by = float(bb_pos[i, 0]), float(bb_pos[i, 1])
+            d = np.hypot(bx - x, by - y)
+            if d < 0.55 and (best is None or d < best[0]):
+                best = (d, bx, by)
+        if best is None:
+            return None
+        _, bx, by = best
+        if abs(bx - x) <= abs(by - y):
+            # bullet roughly above/below: dodge in x, away from it
+            to_right = x >= bx
+            if to_right and x < self.HALF - 0.3:
+                return RIGHT
+            if not to_right and x > -self.HALF + 0.3:
+                return LEFT
+            return RIGHT if x < 0 else LEFT
+        to_down = y >= by
+        if to_down and y < self.HALF - 0.25:
+            return DOWN
+        if not to_down and y > -self.HALF + 0.25:
+            return UP
+        return DOWN if y < 0 else UP
+
+    def _shadow_point(self, boss_pos):
+        """Stand on the boss->barrier ray, 0.45 past the barrier."""
+        bx, by = float(boss_pos[0]), float(boss_pos[1])
+        # pick the barrier most below the boss
+        best = max(self.barriers, key=lambda b: b[1] - by)
+        px, py = best
+        vx, vy = px - bx, py - by
+        n = float(np.hypot(vx, vy)) or 1.0
+        sx = px + vx / n * 0.5
+        sy = py + vy / n * 0.5
+        sx = float(np.clip(sx, -self.HALF + 0.2, self.HALF - 0.2))
+        sy = float(np.clip(sy, -self.HALF + 0.15, self.HALF - 0.15))
+        return sx, sy
+
+    def _clear_column(self, x, y, boss_pos) -> bool:
+        """No barrier between the agent and the boss straight up
+        (player bullets die on barriers, common_systems.cpp:620-630)."""
+        for px, py in self.barriers:
+            if abs(px - x) < 0.13 and py < y and py > float(boss_pos[1]):
+                return False
+        return True
+
+    def act(self, pos, vel, boss_pos, phase_index, bb_pos, bb_frame) -> int:
+        dodge = self._dodge(pos, bb_pos, bb_frame)
+        if dodge is not None:
+            return dodge
+        shielded = int(phase_index) % 2 == 0
+        x, y = float(pos[0]), float(pos[1])
+        if shielded:
+            sx, sy = self._shadow_point(boss_pos)
+            return self._move_toward(pos, sx, sy)
+        # unshielded: align the column with the boss and fire
+        tx = float(boss_pos[0])
+        if abs(x - tx) < 0.3 and self._clear_column(x, y, boss_pos) \
+                and y > float(boss_pos[1]) + 0.7:
+            return self.FIRE
+        ty = min(self.HALF - 0.3, max(y, float(boss_pos[1]) + 1.2))
+        return self._move_toward(pos, tx, ty, tol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# caveflyer (games/caveflyer/caveflyer.cpp:317-332, common_systems.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _wrap_angle(a: float) -> float:
+    while a > np.pi:
+        a -= 2 * np.pi
+    while a < -np.pi:
+        a += 2 * np.pi
+    return a
+
+
+class CaveflyerBot:
+    """Shoot a line-of-sight red-UFO target (+3), then fly the BFS path
+    to the green-UFO goal (+10). Ship dynamics: spin 0.05/step, thrust
+    along heading with velocity decay (terminal speed 0.5 units/time),
+    bullets 1.0 units/time dying on walls/meteors (games/caveflyer/
+    common_systems.cpp:119-156, 216-280). Walls stop but don't kill;
+    meteors/targets/enemies kill on contact, so the flight keeps off
+    hazards and the pinned seeds exclude enemy ambushes."""
+
+    FIRE = 9
+
+    def __init__(self, level):
+        self.wall = np.asarray(level.wall)
+        self.D = self.wall.shape[0]
+        self.goal = (float(level.goal_pos[0]), float(level.goal_pos[1]))
+        self.obst = [
+            (float(level.obst_pos[s, 0]), float(level.obst_pos[s, 1]))
+            for s in range(level.obst_exists.shape[0])
+            if level.obst_exists[s]
+        ]
+        self.targets = [
+            (s, float(level.target_pos[s, 0]), float(level.target_pos[s, 1]))
+            for s in range(level.target_exists.shape[0])
+            if level.target_exists[s]
+        ]
+        self.mode = "travel"
+        self.hunt_slot = None
+        self.kills_done = False
+        self.given_up = set()
+        self.aim_steps = 0
+        self.path = None
+        self.k = 0
+
+    @staticmethod
+    def _bullet_flight(x, y, r, tx, ty):
+        """Sub-steps until a bullet from (x, y) at heading r first
+        overlaps the target's 0.5-box (probe 0.02, so |d| < 0.26 per
+        axis — games/caveflyer.py bullet/target test). None if it never
+        does within 60 sub-steps."""
+        dx, dy = float(np.cos(r)) * 0.25, float(np.sin(r)) * 0.25
+        bx, by = x, y
+        for k in range(60):
+            if abs(bx - tx) < 0.255 and abs(by - ty) < 0.255:
+                return k
+            bx += dx
+            by += dy
+        return None
+
+    def _clear_ray(self, x0, y0, x1, y1, skip_slot=None) -> bool:
+        """No wall cell or meteor rect on the segment (bullet survival)."""
+        d = float(np.hypot(x1 - x0, y1 - y0))
+        n = max(2, int(d / 0.1))
+        for i in range(n + 1):
+            t = i / n
+            x, y = x0 + (x1 - x0) * t, y0 + (y1 - y0) * t
+            cx, ry = int(x), int(y)
+            if not (0 <= cx < self.D and 0 <= ry < self.D) \
+                    or self.wall[ry, cx]:
+                return False
+            for ox, oy in self.obst:
+                if abs(x - ox) < 0.3 and abs(y - oy) < 0.3:
+                    return False
+        return True
+
+    def _pick_target(self, x, y, target_alive):
+        best = None
+        for s, tx, ty in self.targets:
+            if not target_alive[s] or s in self.given_up:
+                continue
+            d = float(np.hypot(tx - x, ty - y))
+            if d < 1.6 or d > 6.0 or not self._clear_ray(x, y, tx, ty):
+                continue
+            if best is None or d < best[0]:
+                best = (d, s, tx, ty)
+        return best
+
+    def _ensure_path(self, x, y, target_alive):
+        blocked = self.wall.copy()
+        # keep the route off contact hazards (meteors + live targets,
+        # _hazard_hit in games/caveflyer.py); enemies move, not mapped
+        for ox, oy in self.obst:
+            self._block_near(blocked, ox, oy)
+        for s, tx, ty in self.targets:
+            if target_alive[s]:
+                self._block_near(blocked, tx, ty)
+        start = (int(y), int(x))
+        goal = (int(self.goal[1]), int(self.goal[0]))
+        blocked[start] = False
+        blocked[goal] = False
+        self.path = bfs_cell_path(blocked.astype(np.int8), start, goal)
+        if self.path is None:  # hazard-padded grid disconnected: raw walls
+            self.path = bfs_cell_path(
+                self.wall.astype(np.int8), start, goal
+            )
+        self.k = 0
+
+    def _block_near(self, blocked, hx, hy):
+        for rr in range(int(hy) - 1, int(hy) + 2):
+            for cc in range(int(hx) - 1, int(hx) + 2):
+                if 0 <= rr < self.D and 0 <= cc < self.D:
+                    if abs(rr + 0.5 - hy) < 1.2 and abs(cc + 0.5 - hx) < 1.2:
+                        blocked[rr, cc] = True
+
+    def act(self, pos, vel, rot, target_alive) -> int:
+        x, y = float(pos[0]), float(pos[1])
+        r = float(rot)
+        speed = float(np.hypot(vel[0], vel[1]))
+
+        if self.mode == "aim":
+            s = self.hunt_slot
+            if s is None or not target_alive[s] or self.aim_steps > 120:
+                if s is not None and target_alive[s]:
+                    self.given_up.add(s)  # unkillable from here; move on
+                self.kills_done = True
+                self.mode = "travel"
+                self.path = None
+            else:
+                self.aim_steps += 1
+                tx, ty = self.hunt_xy
+                want = float(np.arctan2(ty - y, tx - x))
+                e = _wrap_angle(want - r)
+                if abs(e) >= 0.035:
+                    return RIGHT if e > 0 else LEFT  # pure rotation
+                k = self._bullet_flight(x, y, r, tx, ty)
+                # Fire only when the impact lands on sub-step 4: the
+                # reference reassigns reward every sub-step
+                # (caveflyer.cpp:330 last-write-wins), so a +3 landing
+                # on sub-steps 1-3 is overwritten by 0.0 and never
+                # observed. Impact sub-step is (k mod 4)+1 for a bullet
+                # spawned on sub-step 1 after k flight sub-steps.
+                if k is not None and k % 4 == 3:
+                    return self.FIRE
+                if speed < 0.06:
+                    return UP  # creep forward into the visibility band
+                return NOOP
+
+        # travel mode: opportunistic hunt, then waypoint flight
+        t = self._pick_target(x, y, target_alive)
+        if t is not None:
+            # brake only while actually moving along the heading —
+            # reverse thrust accelerates backward otherwise
+            vdoth = float(vel[0]) * np.cos(r) + float(vel[1]) * np.sin(r)
+            if speed > 0.35 and vdoth > 0:
+                return DOWN
+            if speed > 0.15:
+                return NOOP  # velocity decay bleeds the rest
+            _, s, tx, ty = t
+            self.hunt_slot, self.hunt_xy = s, (tx, ty)
+            self.mode = "aim"
+            self.aim_steps = 0
+            return self.act(pos, vel, rot, target_alive)
+
+        if self.path is None:
+            self._ensure_path(x, y, target_alive)
+            if self.path is None:
+                return NOOP
+        while self.k + 1 < len(self.path):
+            wr, wc = self.path[self.k]
+            if abs(x - (wc + 0.5)) < 0.8 and abs(y - (wr + 0.5)) < 0.8:
+                self.k += 1
+            else:
+                break
+        wr, wc = self.path[min(self.k + 2, len(self.path) - 1)]
+        wx, wy = wc + 0.5, wr + 0.5
+        want = float(np.arctan2(wy - y, wx - x))
+        e = _wrap_angle(want - r)
+        # brake if moving fast the wrong way
+        if speed > 0.45 and abs(_wrap_angle(
+                float(np.arctan2(vel[1], vel[0])) - want)) > 0.9:
+            return DOWN  # reverse thrust, no rotation
+        if abs(e) > 0.35:
+            return RIGHT if e > 0 else LEFT
+        if speed < 0.42:
+            return UP_RIGHT if e > 0.05 else (UP_LEFT if e < -0.05 else UP)
+        return RIGHT if e > 0.05 else (LEFT if e < -0.05 else NOOP)
 
 
 # ---------------------------------------------------------------------------

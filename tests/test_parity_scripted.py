@@ -246,3 +246,46 @@ def test_jumper_scripted_carrot_return_parity():
         assert r[end] == f32(10.0), f"seed {seed}: end reward {r[end]}"
         assert not r[:end].any(), f"seed {seed}: stray rewards"
         assert not d[:end].any()
+
+
+# ---------------------------------------------------------------------------
+# caveflyer: shoot a target (+3 visible), fly to the goal (+10 terminal)
+# ---------------------------------------------------------------------------
+
+# Hard mode: easy levels frequently have zero targets (max_obj =
+# free_cells/80, tilemap.cpp:232-236). Seeds pinned where the bot lands
+# a sub-step-4-visible +3 AND reaches the goal without hazard contact.
+CAVEFLYER_SEEDS = [7, 9, 20, 27, 35, 36, 39, 51, 53, 68, 69, 77]
+
+
+def test_caveflyer_scripted_target_and_goal_return_parity():
+    env = pg.make("caveflyer", mode="hard")
+    bank_np = reference_bank("caveflyer", CAVEFLYER_SEEDS, mode="hard")
+
+    R, D, T = _run_closed_loop(
+        env, bank_np, CAVEFLYER_SEEDS,
+        bots.CaveflyerBot,
+        lambda gs: (
+            np.asarray(gs.pos), np.asarray(gs.vel), np.asarray(gs.rot),
+            np.asarray(gs.target_alive),
+        ),
+        max_steps=900,
+    )
+    for i, seed in enumerate(CAVEFLYER_SEEDS):
+        d = D[:, i]
+        assert d.any(), f"seed {seed}: never reached the goal"
+        end = int(np.argmax(d))
+        r = R[: end + 1, i]
+        # goal step: exactly +10.0f (or +13.0f if a kill shares the
+        # sub-step), terminal (caveflyer.cpp:330-332)
+        assert r[end] in (f32(10.0), f32(13.0)), \
+            f"seed {seed}: end reward {r[end]}"
+        # at least one VISIBLE +3 target kill; every mid scoring value
+        # is an exact multiple of 3.0f (sub-step last-write-wins can
+        # hide kills but never invents rewards)
+        mid = r[:end]
+        nz = mid[mid != 0.0]
+        total_target = float(nz.sum()) + float(r[end]) - 10.0
+        assert total_target >= 3.0, f"seed {seed}: no visible +3"
+        assert all(v in (f32(3.0), f32(6.0)) for v in nz), (seed, nz)
+        assert not d[:end].any()
