@@ -121,34 +121,47 @@ class BossfightBot:
             return RIGHT if dx > 0 else LEFT
         return DOWN if dy > 0 else UP
 
-    def _dodge(self, pos, bb_pos, bb_frame) -> Optional[int]:
-        """Sidestep the nearest live approaching boss bullet."""
+    _DIRS = {NOOP: (0.0, 0.0), LEFT: (-1.0, 0.0), RIGHT: (1.0, 0.0),
+             UP: (0.0, -1.0), DOWN: (0.0, 1.0), FIRE: (0.0, 0.0)}
+
+    def _safety(self, a, pos, boss_pos, threats) -> float:
+        """Score an action by the clearance its short-horizon position
+        keeps from barriers, the boss hitbox, and incoming bullets."""
+        dx, dy = self._DIRS[a]
+        px = float(np.clip(pos[0] + 0.14 * dx, -self.HALF + 0.15,
+                           self.HALF - 0.15))
+        py = float(np.clip(pos[1] + 0.14 * dy, -self.HALF + 0.1,
+                           self.HALF - 0.1))
+        score = 0.0
+        for hx, hy in self.barriers:
+            d = max(abs(px - hx) - 0.25, abs(py - hy) - 0.2)
+            if d < 0.06:
+                score -= 1000.0
+            elif d < 0.2:
+                score -= (0.2 - d)
+        bd = max(abs(px - float(boss_pos[0])) - 0.78,
+                 abs(py - float(boss_pos[1])) - 0.55)
+        if bd < 0.06:
+            score -= 900.0
+        mind = 10.0
+        for bx, by, bvx, bvy in threats:
+            # bullet two env steps ahead
+            fx, fy = bx + bvx * 8.0, by + bvy * 8.0
+            mind = min(mind,
+                       float(np.hypot(px - bx, py - by)),
+                       float(np.hypot(px - fx, py - fy)))
+        return score + min(mind, 1.2)
+
+    def _threats(self, pos, bb_pos, bb_vel, bb_frame):
         x, y = float(pos[0]), float(pos[1])
-        best = None
+        out = []
         for i in range(bb_pos.shape[0]):
             if bb_frame[i] != 0.0:
                 continue
             bx, by = float(bb_pos[i, 0]), float(bb_pos[i, 1])
-            d = np.hypot(bx - x, by - y)
-            if d < 0.55 and (best is None or d < best[0]):
-                best = (d, bx, by)
-        if best is None:
-            return None
-        _, bx, by = best
-        if abs(bx - x) <= abs(by - y):
-            # bullet roughly above/below: dodge in x, away from it
-            to_right = x >= bx
-            if to_right and x < self.HALF - 0.3:
-                return RIGHT
-            if not to_right and x > -self.HALF + 0.3:
-                return LEFT
-            return RIGHT if x < 0 else LEFT
-        to_down = y >= by
-        if to_down and y < self.HALF - 0.25:
-            return DOWN
-        if not to_down and y > -self.HALF + 0.25:
-            return UP
-        return DOWN if y < 0 else UP
+            if np.hypot(bx - x, by - y) < 1.1:
+                out.append((bx, by, float(bb_vel[i, 0]), float(bb_vel[i, 1])))
+        return out
 
     def _shadow_point(self, boss_pos):
         """Stand on the boss->barrier ray, 0.45 past the barrier."""
@@ -172,22 +185,34 @@ class BossfightBot:
                 return False
         return True
 
-    def act(self, pos, vel, boss_pos, phase_index, bb_pos, bb_frame) -> int:
-        dodge = self._dodge(pos, bb_pos, bb_frame)
-        if dodge is not None:
-            return dodge
+    def act(self, pos, vel, boss_pos, phase_index, bb_pos, bb_vel,
+            bb_frame) -> int:
         shielded = int(phase_index) % 2 == 0
         x, y = float(pos[0]), float(pos[1])
         if shielded:
             sx, sy = self._shadow_point(boss_pos)
-            return self._move_toward(pos, sx, sy)
-        # unshielded: align the column with the boss and fire
-        tx = float(boss_pos[0])
-        if abs(x - tx) < 0.3 and self._clear_column(x, y, boss_pos) \
-                and y > float(boss_pos[1]) + 0.7:
-            return self.FIRE
-        ty = min(self.HALF - 0.3, max(y, float(boss_pos[1]) + 1.2))
-        return self._move_toward(pos, tx, ty, tol=0.15)
+            intended = self._move_toward(pos, sx, sy)
+        else:
+            # unshielded: align the column with the boss and fire
+            tx = float(boss_pos[0])
+            if abs(x - tx) < 0.3 and self._clear_column(x, y, boss_pos) \
+                    and y > float(boss_pos[1]) + 0.7:
+                intended = self.FIRE
+            else:
+                ty = min(self.HALF - 0.3, max(y, float(boss_pos[1]) + 1.2))
+                intended = self._move_toward(pos, tx, ty, tol=0.15)
+        # safety overlay: keep the intended action unless a clearly
+        # safer move exists (bullets closing in, barrier/boss contact)
+        threats = self._threats(pos, bb_pos, bb_vel, bb_frame)
+        s_int = self._safety(intended, pos, boss_pos, threats)
+        best_a, best_s = intended, s_int
+        for a in (NOOP, LEFT, RIGHT, UP, DOWN):
+            s = self._safety(a, pos, boss_pos, threats)
+            if s > best_s + 1e-9:
+                best_a, best_s = a, s
+        if s_int >= best_s - 0.06:
+            return intended
+        return best_a
 
 
 # ---------------------------------------------------------------------------

@@ -289,3 +289,56 @@ def test_caveflyer_scripted_target_and_goal_return_parity():
         assert total_target >= 3.0, f"seed {seed}: no visible +3"
         assert all(v in (f32(3.0), f32(6.0)) for v in nz), (seed, nz)
         assert not d[:end].any()
+
+
+# ---------------------------------------------------------------------------
+# bossfight: death -10; full phase-machine boss kill +10
+# ---------------------------------------------------------------------------
+
+BOSSFIGHT_KILL_SEEDS = [0, 1, 2, 4, 5, 6, 8, 9, 10, 11]
+
+
+def test_bossfight_noop_death_return_parity():
+    """A stationary agent is eventually hit by a boss bullet: exactly
+    one scoring step, the terminal -10.0f (bossfight.cpp:318-320), and
+    0.0 everywhere before."""
+    seeds = [1, 2, 3, 4, 5, 6, 7, 8, 9, 12]  # all die within ~170 steps
+    env = pg.make("bossfight")  # hard (reference default)
+    bank_np = reference_bank("bossfight", seeds)
+    acts = [[bots.NOOP] * 250 for _ in seeds]
+    R, D = _run_batched(env, bank_np, seeds, acts)
+    for i, seed in enumerate(seeds):
+        d = D[:, i]
+        assert d.any(), f"seed {seed}: noop agent survived 400 steps?"
+        end = int(np.argmax(d))
+        assert R[end, i] == f32(-10.0), f"seed {seed}: {R[end, i]}"
+        assert not R[:end, i].any()
+
+
+def test_bossfight_scripted_boss_kill_return_parity():
+    """Closed-loop duel through the full phase machine: hide in a
+    barrier's shadow while shielded, volley while unshielded, 3 HP x 3
+    rounds -> phase_index 6; exactly one scoring step, the terminal
+    +10.0f, zero everywhere else (common_systems.cpp:199-287, 385-386).
+    Easy mode (half bullet speed, common_systems.cpp:104) — level
+    layouts are mode-independent."""
+    env = pg.make("bossfight", mode="easy")
+    bank_np = reference_bank("bossfight", BOSSFIGHT_KILL_SEEDS)
+
+    R, D, T = _run_closed_loop(
+        env, bank_np, BOSSFIGHT_KILL_SEEDS,
+        bots.BossfightBot,
+        lambda gs: (
+            np.asarray(gs.pos), np.asarray(gs.vel), np.asarray(gs.boss_pos),
+            np.asarray(gs.phase_index), np.asarray(gs.bb_pos),
+            np.asarray(gs.bb_vel), np.asarray(gs.bb_frame),
+        ),
+        max_steps=1500,
+    )
+    for i, seed in enumerate(BOSSFIGHT_KILL_SEEDS):
+        d = D[:, i]
+        assert d.any(), f"seed {seed}: boss survived"
+        end = int(np.argmax(d))
+        assert R[end, i] == f32(10.0), f"seed {seed}: end {R[end, i]}"
+        assert not R[:end, i].any(), f"seed {seed}: stray rewards"
+        assert not d[:end].any()
