@@ -35,8 +35,22 @@ def sprite(name: str):
     return deco
 
 
+def _stable_seed(name) -> int:
+    """Process-independent seed for a painter name.
+
+    NOT Python's `hash()`: string hashing is salted per process
+    (PYTHONHASHSEED), which would regenerate different procedural art
+    every run — non-reproducible frames AND a different compiled-program
+    cache key for every process (the art is baked into the render
+    programs as constants, so the persistent compilation cache would
+    never hit across runs)."""
+    import zlib
+
+    return zlib.crc32(repr(name).encode())
+
+
 def _rng(name: str) -> np.random.Generator:
-    return np.random.default_rng(abs(hash(name)) % (2**32))
+    return np.random.default_rng(_stable_seed(name))
 
 
 def _grid() -> Tuple[np.ndarray, np.ndarray]:
@@ -810,7 +824,7 @@ def build_backgrounds(kind: str, n: int) -> np.ndarray:
     c = (np.arange(BG_SIZE) + 0.5) / BG_SIZE
     x, y = np.meshgrid(c, c, indexing="xy")
     for i in range(n):
-        rng = np.random.default_rng(abs(hash((kind, i))) % (2**32))
+        rng = np.random.default_rng(_stable_seed((kind, i)))
         if kind == "topdown":
             base = rng.uniform(0.25, 0.55, 3)
             img = np.ones((BG_SIZE, BG_SIZE, 3)) * base
