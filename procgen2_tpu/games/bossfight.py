@@ -277,13 +277,17 @@ def _window(next_i, num, size):
 
 def _ring_push(pos, vel, rot, frame, num, nxt, new_pos, new_vel, new_rot, cond,
                size):
-    """fire() (common_systems.cpp:75-87): append when cond & num < size."""
+    """fire() (common_systems.cpp:75-87): append when cond & num < size.
+
+    The slot write is a one-hot mask, not `.at[slot].set` — under vmap a
+    traced-index update lowers to a batched scatter, the slow TPU path
+    (measured: the 8-push volley loop made bossfight scatter-bound)."""
     can = cond & (num < size)
-    slot = nxt
-    pos = pos.at[slot].set(jnp.where(can, new_pos, pos[slot]))
-    vel = vel.at[slot].set(jnp.where(can, new_vel, vel[slot]))
-    rot = rot.at[slot].set(jnp.where(can, new_rot, rot[slot]))
-    frame = frame.at[slot].set(jnp.where(can, 0.0, frame[slot]))
+    upd = can & (jnp.arange(size) == nxt)
+    pos = jnp.where(upd[:, None], new_pos[None, :], pos)
+    vel = jnp.where(upd[:, None], new_vel[None, :], vel)
+    rot = jnp.where(upd, new_rot, rot)
+    frame = jnp.where(upd, 0.0, frame)
     nxt = jnp.where(can, (nxt + 1) % size, nxt)
     num = num + can.astype(jnp.int32)
     return pos, vel, rot, frame, num, nxt
@@ -415,18 +419,18 @@ def step(cfg: Config, state: State, action):
         ])
         n_pos = jnp.stack([clamped_x, clamped_y])
 
-        # fire player bullet (timer quirk as caveflyer)
+        # fire player bullet (timer quirk as caveflyer); one-hot slot
+        # update, not a scatter (see _ring_push)
         can_spawn = fire & (a_btimer == 0.0) & (ab_num < NUM_A_BULLETS)
-        slot = ab_next
-        ab_vel_n = ab_vel.at[slot].set(
-            jnp.where(can_spawn, jnp.array([0.0, -A_BULLET_SPEED]), ab_vel[slot])
+        upd_ab = can_spawn & (jnp.arange(NUM_A_BULLETS) == ab_next)
+        ab_vel_n = jnp.where(
+            upd_ab[:, None],
+            jnp.array([0.0, -A_BULLET_SPEED])[None, :], ab_vel,
         )
-        ab_pos_n = ab_pos.at[slot].set(jnp.where(can_spawn, n_pos, ab_pos[slot]))
-        ab_frame_n = ab_frame.at[slot].set(jnp.where(can_spawn, 0.0, ab_frame[slot]))
-        ab_bounc_n = ab_bounc.at[slot].set(
-            jnp.where(can_spawn, False, ab_bounc[slot])
-        )
-        ab_btime_n = ab_btime.at[slot].set(jnp.where(can_spawn, 0.0, ab_btime[slot]))
+        ab_pos_n = jnp.where(upd_ab[:, None], n_pos[None, :], ab_pos)
+        ab_frame_n = jnp.where(upd_ab, 0.0, ab_frame)
+        ab_bounc_n = jnp.where(upd_ab, False, ab_bounc)
+        ab_btime_n = jnp.where(upd_ab, 0.0, ab_btime)
         n_ab_next = jnp.where(can_spawn, (ab_next + 1) % NUM_A_BULLETS, ab_next)
         n_ab_num = ab_num + can_spawn.astype(jnp.int32)
         n_abtimer = jnp.where(
@@ -533,10 +537,9 @@ def step(cfg: Config, state: State, action):
             jax.random.uniform(ky, minval=-0.5, maxval=0.5),
         ])
         can_ex = show & (ex_num < NUM_EXPLOSIONS)
-        ex_pos_n = ex_pos.at[ex_next].set(jnp.where(can_ex, epos, ex_pos[ex_next]))
-        ex_frame_n = ex_frame.at[ex_next].set(
-            jnp.where(can_ex, 0.0, ex_frame[ex_next])
-        )
+        upd_ex = can_ex & (jnp.arange(NUM_EXPLOSIONS) == ex_next)
+        ex_pos_n = jnp.where(upd_ex[:, None], epos[None, :], ex_pos)
+        ex_frame_n = jnp.where(upd_ex, 0.0, ex_frame)
         n_ex_next = jnp.where(can_ex, (ex_next + 1) % NUM_EXPLOSIONS, ex_next)
         n_ex_num = ex_num + can_ex.astype(jnp.int32)
 

@@ -526,17 +526,18 @@ def observe_batch(cfg: Config, states: State):
     ).astype(jnp.bfloat16)  # [N, 2, 4, S, S]
     t1 = jnp.einsum("nrh,nkchw->nkcrw", ohv, themed,
                     preferred_element_type=jnp.bfloat16)
-    themed_img = jnp.einsum("nkcrw,nuw->nkcru", t1, ohu,
-                            preferred_element_type=jnp.bfloat16)
 
     inv = jnp.bfloat16(1 / 255.0)
 
-    def blend_kind(img, mask, kimg):
+    # kind-at-a-time second stage (see games/coinrun.py observe_batch)
+    def blend_kind(img, mask, rows_k):
+        kimg = jnp.einsum("ncrw,nuw->ncru", rows_k, ohu,
+                          preferred_element_type=jnp.bfloat16)
         a = mask.astype(jnp.bfloat16) * (kimg[:, 3:4] * inv)
         return img + a * (kimg[:, :3] - img)
 
-    img = blend_kind(img, G == WALL_TOP, themed_img[:, 0])
-    img = blend_kind(img, G == WALL_MID, themed_img[:, 1])
+    img = blend_kind(img, G == WALL_TOP, t1[:, 0])
+    img = blend_kind(img, G == WALL_MID, t1[:, 1])
 
     # ---- stamps: crystals + swimming mobs, then the agent ----
     def pix(centers, P):

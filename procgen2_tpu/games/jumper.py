@@ -412,10 +412,12 @@ def _particles_substep(pos, part_pos, part_life, spawn_timer, enabled):
     do = (dead_idx >= 0) & (spawn_timer >= PART_SPAWN_TIME) & enabled
     spawn_timer = jnp.where(do, jnp.mod(spawn_timer, PART_SPAWN_TIME), spawn_timer)
     slot = jnp.clip(dead_idx, 0, NUM_PARTICLES - 1)
-    # offset (0, -0.2) (tilemap.cpp:236)
-    life = life.at[slot].set(jnp.where(do, PART_LIFESPAN, life[slot]))
-    part_pos = part_pos.at[slot].set(
-        jnp.where(do, jnp.stack([pos[0], pos[1] - 0.2]), part_pos[slot])
+    # offset (0, -0.2) (tilemap.cpp:236); one-hot slot update — a
+    # traced-index .at[].set lowers to a batched scatter under vmap
+    upd = do & (jnp.arange(NUM_PARTICLES) == slot)
+    life = jnp.where(upd, PART_LIFESPAN, life)
+    part_pos = jnp.where(
+        upd[:, None], jnp.stack([pos[0], pos[1] - 0.2])[None, :], part_pos
     )
     return part_pos, life, spawn_timer
 
