@@ -447,7 +447,18 @@ def stamps_from_pixel_bank(pbank, var_idx, r0, c0, alives=None, alpha=None):
     pbank: [V, 4, P, P] u8/bf16 pre-rasterized patches
     var_idx: i32 [N, K]; r0/c0: i32 [N, K] top-left obs pixel
     """
-    pbank = jnp.asarray(pbank).astype(jnp.bfloat16)
+    # Premultiply in the BANK (a trace-time constant, folded once by
+    # XLA) and fold alive/alpha into the one-hot *values*: the variant
+    # select then yields premultiplied patches directly, with no
+    # per-step elementwise premultiply between the two matmuls. That
+    # elementwise stage forced XLA into batch-minor layouts and a
+    # full relayout copy of the [N, K, 4, P, P] patch tensor per stamp
+    # group (profiled 3.6+1.5+1.0 ms/step on bossfight at batch 4096).
+    pbank = jnp.asarray(pbank).astype(jnp.float32)
+    a_tex = pbank[:, 3:4] * (1.0 / 255.0)
+    prem_bank = jnp.concatenate(
+        [pbank[:, :3] * a_tex, a_tex], axis=1
+    ).astype(jnp.bfloat16)
     N, K = var_idx.shape
     V, _, P, _ = pbank.shape
     # Variant select as a one-hot matmul: `pbank[var_idx]` lowers to a
@@ -455,20 +466,20 @@ def stamps_from_pixel_bank(pbank, var_idx, r0, c0, alives=None, alpha=None):
     # 4096 — dominated by data formatting); the MXU contraction over the
     # small V axis is ~free.
     ohvar = (var_idx[..., None] == jnp.arange(V)).astype(jnp.bfloat16)
-    patch4 = (
-        ohvar.reshape(N * K, V) @ pbank.reshape(V, 4 * P * P)
-    ).reshape(N, K, 4, P, P)
-    a_p = patch4[:, :, 3:4] * jnp.bfloat16(1 / 255.0)
     if alives is not None:
-        a_p = a_p * alives[:, :, None, None, None].astype(jnp.bfloat16)
+        ohvar = ohvar * alives[..., None].astype(jnp.bfloat16)
     if alpha is not None:
-        a_p = a_p * jnp.asarray(alpha, jnp.bfloat16)[
-            :, :, None, None, None
-        ]
-    # premultiply in place of a concat (a concat materializes an extra
-    # [N, K, 4, P, P] copy): rgb channels get rgb*a, channel 3 keeps a.
-    c_iota = jnp.arange(4).reshape(1, 1, 4, 1, 1)
-    prem = jnp.where(c_iota < 3, patch4 * a_p, a_p)
+        ohvar = ohvar * jnp.asarray(alpha, jnp.bfloat16)[..., None]
+    # Bank stored as [V, c, q, p] so the select's natural row-major
+    # output [NK, (c, q, p)] already has the p-minor layout the
+    # row-placement dot wants for its prem operand — the swapaxes below
+    # is then a pure layout relabeling, not a data movement (the
+    # [N, K, 4, P, P] relayout copy it replaces profiled 3.6 ms/step on
+    # bossfight's 64-bullet pool at batch 4096).
+    bank_cqp = prem_bank.transpose(0, 1, 3, 2)  # constant-folded
+    prem = (
+        ohvar.reshape(N * K, V) @ bank_cqp.reshape(V, 4 * P * P)
+    ).reshape(N, K, 4, P, P).swapaxes(3, 4)
     return place_stamps(prem, r0, c0)
 
 

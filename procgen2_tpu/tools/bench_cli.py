@@ -37,7 +37,13 @@ def bench_game(game: str, num_envs: int = 4096, num_levels: int = 1024,
             k, sk = jax.random.split(k)
             actions = jax.random.randint(sk, (num_envs,), 0, 15)
             state, ts = env._step(bank, state, actions)
-            return (state, k), (ts.obs, ts.reward)
+            # Barrier: keep the u8 obs conversion OUT of the scan
+            # buffer's dynamic-update-slice fusion — fused, the DUS
+            # loses its in-place update and rewrites the whole
+            # [T, N, 64, 64, 3] buffer every step (profiled 3-4 ms/step
+            # at batch 4096).
+            obs = jax.lax.optimization_barrier(ts.obs)
+            return (state, k), (obs, ts.reward)
 
         (state, k), (obs, rew) = jax.lax.scan(scan_step, (state, k), None, length=T)
         # checksum forces materialization (obs must be written, not DCE'd)
