@@ -710,38 +710,44 @@ def observe_batch(cfg: Config, states: State):
     tl = jnp.asarray(A["tile_lut"])  # [themes, ids]
     th = level.theme.astype(jnp.int32)
 
-    # themed kinds (per-env texture row gathers), sampled per env
-    themed = jnp.stack(
-        [atlas_s[tl[th, WALL_TOP]], atlas_s[tl[th, WALL_MID]]], axis=1
-    ).astype(jnp.bfloat16)  # [N, 2, 4, S, S]
-    t1 = jnp.einsum("nrh,nkchw->nkcrw", ohv, themed,
-                    preferred_element_type=jnp.bfloat16)
+    # themed kinds (per-env texture row gathers)
+    themed = [atlas_s[tl[th, WALL_TOP]], atlas_s[tl[th, WALL_MID]]]
 
     # shared kinds: lava pair + 4 crate types
     shared_sids = [A["idx"]["lava_top"], A["idx"]["lava_mid"]] + list(
         np.asarray(A["crate_lut"])
     )
     shared = atlas_s[jnp.asarray(shared_sids)].astype(jnp.bfloat16)
-    s1 = jnp.einsum("nrh,kchw->nkcrw", ohv, shared,
-                    preferred_element_type=jnp.bfloat16)
 
     inv = jnp.bfloat16(1 / 255.0)
 
-    # Kind-at-a-time second-stage sampling fused with its blend: a
+    # Kind-at-a-time sampling, BOTH stages, fused with the blend: a
     # monolithic [N, K, 4, OBS, OBS] einsum was the profile's top cost
-    # (7.4 ms/step incl. an extra layout copy, batch 4096).
-    def blend_kind(img, mask, rows_k):
+    # (7.4 ms/step incl. an extra layout copy, batch 4096), and a shared
+    # batched first stage [N, K, 4, OBS, S] forced a relayout copy of
+    # every per-kind slice before its second-stage dot (0.45 ms x 7
+    # kinds); producing each kind's rows immediately before its dot
+    # lets XLA assign agreeing layouts.
+    def blend_kind(img, mask, tex_k):
+        if tex_k.ndim == 4:  # [N, 4, S, S] per-env themed texture
+            rows_k = jnp.einsum("nrh,nchw->ncrw", ohv,
+                                tex_k.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.bfloat16)
+        else:  # [4, S, S] shared texture
+            rows_k = jnp.einsum("nrh,chw->ncrw", ohv,
+                                tex_k.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.bfloat16)
         kimg = jnp.einsum("ncrw,nuw->ncru", rows_k, ohu,
                           preferred_element_type=jnp.bfloat16)
         a = mask.astype(jnp.bfloat16) * (kimg[:, 3:4] * inv)
         return img + a * (kimg[:, :3] - img)
 
-    img = blend_kind(img, G == WALL_TOP, t1[:, 0])
-    img = blend_kind(img, G == WALL_MID, t1[:, 1])
-    img = blend_kind(img, G == LAVA_TOP, s1[:, 0])
-    img = blend_kind(img, G == LAVA_MID, s1[:, 1])
+    img = blend_kind(img, G == WALL_TOP, themed[0])
+    img = blend_kind(img, G == WALL_MID, themed[1])
+    img = blend_kind(img, G == LAVA_TOP, shared[0])
+    img = blend_kind(img, G == LAVA_MID, shared[1])
     for v in range(4):
-        img = blend_kind(img, (G == CRATE) & (GC == v), s1[:, 2 + v])
+        img = blend_kind(img, (G == CRATE) & (GC == v), shared[2 + v])
 
     # ---- moving stamps: saws + coin + culled mobs ----
     def pix(centers, P):

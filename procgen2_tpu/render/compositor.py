@@ -409,15 +409,36 @@ def blend_premul(img, rgbp, a):
     return img * (1.0 - a) + rgbp
 
 
+def _use_stamp_kernel():
+    """Mosaic stamp-placement kernel gate: TPU backend, obs-size render
+    (the window-resolution path exceeds the 128-lane frame tile), not
+    disabled via PROCGEN2_TPU_STAMP_KERNEL=0."""
+    import os
+
+    if os.environ.get("PROCGEN2_TPU_STAMP_KERNEL", "1") == "0":
+        return False
+    if OBS > 128:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def place_stamps(prem, r0, c0):
     """Place per-sprite premultiplied patches into the frame.
 
     prem: bf16 [N, K, 4, P, P] (rgb premultiplied + alpha in [0,1])
     r0, c0: i32 [N, K] top-left obs pixel of each patch
-    Returns (rgbp [N,3,OBS,OBS], a [N,1,OBS,OBS]) as bf16 sums —
-    placement is two batched one-hot matmuls, so the full-frame cost is
+    Returns (rgbp [N,3,OBS,OBS], a [N,1,OBS,OBS]) as bf16 sums. On TPU
+    placement runs as a Pallas kernel (render/stamp_kernel.py); the
+    fallback is two batched one-hot matmuls, so the full-frame cost is
     paid once for all K sprites.
     """
+    if _use_stamp_kernel():
+        from . import stamp_kernel
+
+        return stamp_kernel.place_stamps_tpu(prem, r0, c0, OBS)
     N, K, _, P, _ = prem.shape
     p_i = jnp.arange(P)
     r_iota = jnp.arange(OBS)
@@ -461,6 +482,19 @@ def stamps_from_pixel_bank(pbank, var_idx, r0, c0, alives=None, alpha=None):
     ).astype(jnp.bfloat16)
     N, K = var_idx.shape
     V, _, P, _ = pbank.shape
+    if _use_stamp_kernel():
+        from . import stamp_kernel
+
+        # (the kernel's aligned row window must fit inside the frame)
+        if stamp_kernel._win(P) <= OBS:
+            scale = jnp.ones((N, K), jnp.float32)
+            if alives is not None:
+                scale = scale * alives.astype(jnp.float32)
+            if alpha is not None:
+                scale = scale * jnp.asarray(alpha, jnp.float32)
+            return stamp_kernel.stamps_tpu(
+                prem_bank, var_idx, scale, r0, c0, OBS
+            )
     # Variant select as a one-hot matmul: `pbank[var_idx]` lowers to a
     # TPU dynamic-gather (profiled at 4.5 ms/step for coinrun at batch
     # 4096 — dominated by data formatting); the MXU contraction over the

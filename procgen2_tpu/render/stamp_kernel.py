@@ -1,0 +1,138 @@
+"""Pallas TPU kernel for stamp compositing (compositor stamp fast path).
+
+Placing K premultiplied P x P patches at per-env pixel offsets is the
+render hot spot for every sprite-heavy game (bossfight's 64-bullet
+pool, coinrun's saw/mob set, ...). The XLA formulation is a variant-
+select matmul plus a pair of one-hot placement matmuls whose
+per-(env, stamp) matrices are tiny ([64, P] @ [P, 4P]) — the MXU runs
+them at <1% utilization, the row-placed intermediate
+([N, 4, 64, K, P], 537 MB for bossfight at batch 4096) costs more HBM
+traffic than the whole frame, and XLA wraps the pipeline in full
+relayout copies (the stamp machinery profiled ~25 ms/step of
+bossfight's 34).
+
+Here each grid program handles an env block entirely in VMEM,
+accumulating straight into the output frame block:
+
+  for each stamp: skip if dead (`@pl.when` on the scalar weight), read
+  its patch from the bank by dynamic index, scale, widen to the
+  128-lane tile, `pltpu.roll` it to its column position and sub-tile
+  row offset, mask the visible texels, and read-modify-write a
+  tile-aligned W-row window of the frame.
+
+The bank holds *premultiplied* texels (rgb * a/255, a/255); `scale`
+carries alive * alpha, so a zero weight skips all work. Row/column
+clipping matches the one-hot semantics (out-of-frame texels drop);
+accumulation order is irrelevant (premultiplied sums commute). The
+kernel requires OBS <= 128 lanes and W <= OBS rows; the
+window-resolution render path (compositor.resolution) and non-TPU
+backends use the matmul formulation in compositor.place_stamps.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _win(P):
+    """Aligned row window: P rows at any sub-tile offset fit in W."""
+    return ((P + 7) // 8 + 1) * 8
+
+
+def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
+            *, E, K, P, OBS):
+    W = _win(P)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+
+    for e in range(E):
+        out_ref[e] = jnp.zeros_like(out_ref[e])
+
+        def body(k, _):
+            s = scale_ref[e, k]
+
+            @pl.when(s != 0.0)
+            def _():
+                rc = jnp.clip(r0_ref[e, k], -P, OBS)
+                cc = jnp.clip(c0_ref[e, k], -P, OBS)
+                # Tile-aligned W-row store window fully inside the
+                # frame; `off` positions the patch inside it (possibly
+                # negative / past W for edge stamps — the row mask
+                # drops the off-frame rows, wrapped by the roll).
+                base = jnp.clip((rc // 8) * 8, 0, OBS - W)
+                off = rc - base
+                patch = bank_ref[var_ref[e, k]] * s.astype(jnp.bfloat16)
+                buf = jnp.pad(
+                    patch, ((0, 0), (0, W - P), (0, LANES - P))
+                ).astype(jnp.float32)
+                # Mosaic's rotate requires 32-bit data; the converts
+                # are register-local.
+                buf = pltpu.roll(buf, cc, axis=2)   # lanes -> column
+                buf = pltpu.roll(buf, off, axis=1)  # sublanes -> row
+                mask = (
+                    (lane >= cc) & (lane < cc + P) & (lane < OBS)
+                    & (rowi >= off) & (rowi < off + P)
+                )
+                contrib = jnp.where(
+                    mask, buf.astype(jnp.bfloat16), jnp.bfloat16(0)
+                )[:, :, :OBS]
+                rows = pl.ds(pl.multiple_of(base, 8), W)
+                out_ref[e, :, rows, :] = out_ref[e, :, rows, :] + contrib
+
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("obs",))
+def _stamps(bank, var_idx, scale, r0, c0, obs):
+    N, K = var_idx.shape
+    V = bank.shape[0]
+    P = bank.shape[-1]
+    E = next(e for e in (8, 4, 2, 1) if N % e == 0)
+    grid = (N // E,)
+    smem = functools.partial(
+        pl.BlockSpec, (E, K), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, E=E, K=K, P=P, OBS=obs),
+        grid=grid,
+        in_specs=[
+            smem(),
+            smem(),
+            smem(),
+            smem(),
+            pl.BlockSpec((V, 4, P, P), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((E, 4, obs, obs), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 4, obs, obs), jnp.bfloat16),
+    )(var_idx, scale, r0, c0, bank)
+    return out
+
+
+def stamps_tpu(prem_bank, var_idx, scale, r0, c0, obs):
+    """Composite K stamps/env from a premultiplied bank.
+
+    prem_bank: bf16 [V, 4, P, P] premultiplied (rgb * a, a in [0, 1])
+    var_idx:   i32 [N, K] bank row per stamp
+    scale:     f32 [N, K] alive * alpha weight (0 skips the stamp)
+    r0, c0:    i32 [N, K] top-left obs pixel
+    Returns (rgbp [N, 3, obs, obs], a [N, 1, obs, obs]) bf16 sums.
+    """
+    out = _stamps(
+        jnp.asarray(prem_bank, jnp.bfloat16),
+        var_idx.astype(jnp.int32),
+        scale.astype(jnp.float32),
+        r0.astype(jnp.int32),
+        c0.astype(jnp.int32),
+        obs,
+    )
+    return out[:, :3], out[:, 3:4]

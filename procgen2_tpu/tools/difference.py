@@ -7,6 +7,27 @@ The reference's C++ RNG (std::mt19937 + libstdc++ distributions) cannot
 be seed-matched to jax.random, so this measures *distributional* and
 *mechanical* parity — identical action semantics, reward values,
 termination rules — rather than per-seed level equality (SURVEY.md §2.4).
+(Per-seed *layout* parity is covered separately by the mt19937 oracle +
+tests/test_parity*.py; reward/termination parity there is bit-exact.)
+
+Expected pixel-difference budget (deliberate renderer deviations; these
+bound the pixel stats below and are NOT parity bugs):
+
+- Nearest-neighbor texture sampling vs SDL's software scaler with
+  src-rect padding/jitter compensation (`renderer.cpp:59-70`): ~1 px of
+  sprite-rim disagreement per sprite edge.
+- Rotated sprites draw from quantized pre-rasterized variants:
+  jumper's compass needle 64 bins (`games/jumper.py`), caveflyer ship /
+  bossfight bullet headings 16-32 bins — up to ~5.6 degrees of needle
+  angle vs the reference's continuous rotation.
+- Batched fast paths composite small sprites as pixel-snapped stamps
+  whose overlaps add premultiplied contributions instead of painter's
+  alpha order: identical except where two translucent sprites overlap
+  (measured frac(|d|>8) < 1% in the per-game fast-path suites).
+- Blending accumulates in bf16 (+-1 of 255 per blend) and the stamp
+  kernel scales patches in bf16 (+-1 ulp at the 255 scale).
+- Default art is procedural; install render/png_assets for the
+  reference's PNG look (tests/golden locks those frames bit-exactly).
 
 Run:  python -m procgen2_tpu.tools.difference maze \\
           --lib /path/to/build/games/maze/libMaze.so --steps 500

@@ -25,6 +25,15 @@ import pytest  # noqa: E402
 # the env var — re-pin to CPU before any backend initializes.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# The sitecustomize import also means jax read its env-var config BEFORE
+# the os.environ writes above, so JAX_COMPILATION_CACHE_DIR never took:
+# the suite ran every session with a cold persistent cache (the dominant
+# wall-time cost on this 2-core box). Set the config values directly.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ["JAX_COMPILATION_CACHE_DIR"],
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")
