@@ -430,15 +430,11 @@ def place_stamps(prem, r0, c0):
 
     prem: bf16 [N, K, 4, P, P] (rgb premultiplied + alpha in [0,1])
     r0, c0: i32 [N, K] top-left obs pixel of each patch
-    Returns (rgbp [N,3,OBS,OBS], a [N,1,OBS,OBS]) as bf16 sums. On TPU
-    placement runs as a Pallas kernel (render/stamp_kernel.py); the
-    fallback is two batched one-hot matmuls, so the full-frame cost is
-    paid once for all K sprites.
+    Returns (rgbp [N,3,OBS,OBS], a [N,1,OBS,OBS]) as bf16 sums —
+    placement is two batched one-hot matmuls, so the full-frame cost is
+    paid once for all K sprites. (The TPU stamp kernel replaces this
+    whole pipeline where profitable — see stamps_from_pixel_bank.)
     """
-    if _use_stamp_kernel():
-        from . import stamp_kernel
-
-        return stamp_kernel.place_stamps_tpu(prem, r0, c0, OBS)
     N, K, _, P, _ = prem.shape
     p_i = jnp.arange(P)
     r_iota = jnp.arange(OBS)
@@ -482,7 +478,14 @@ def stamps_from_pixel_bank(pbank, var_idx, r0, c0, alives=None, alpha=None):
     ).astype(jnp.bfloat16)
     N, K = var_idx.shape
     V, _, P, _ = pbank.shape
-    if _use_stamp_kernel():
+    # Kernel-vs-matmul dispatch (measured on v5e at batch 4096): the
+    # Mosaic kernel costs ~flat ~0.32 ms per stamp slot regardless of P
+    # (plus it skips dead slots), while the matmul path scales with
+    # K * P bands (~0.07/0.22/0.68 ms per slot at P=4/8/20) but picks up
+    # in-graph relayout copies. Small-K small-P groups (chaser's 6
+    # sprites, jumper's single goal/bunny) stay on the matmuls; big
+    # pools and large patches go to the kernel.
+    if _use_stamp_kernel() and (P >= 12 or (P >= 6 and K * P >= 96)):
         from . import stamp_kernel
 
         # (the kernel's aligned row window must fit inside the frame)
