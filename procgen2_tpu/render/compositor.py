@@ -33,6 +33,7 @@ per-env matmuls become batched matmuls.
 from __future__ import annotations
 
 import contextlib
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,13 @@ from .atlas import SPRITE_SIZE
 
 OBS = 64  # observation width/height, games/maze/maze.cpp:26-27
 S = SPRITE_SIZE
+
+# Kill switch for the Mosaic stamp kernel, read ONCE at import: the gate
+# is evaluated at trace time and baked into jitted step functions, so a
+# mid-process env-var flip would only affect not-yet-traced programs —
+# an easy footgun when bisecting. Set PROCGEN2_TPU_STAMP_KERNEL=0 before
+# importing procgen2_tpu to force the matmul path everywhere.
+STAMP_KERNEL_ENABLED = os.environ.get("PROCGEN2_TPU_STAMP_KERNEL", "1") != "0"
 
 
 @contextlib.contextmanager
@@ -412,10 +420,8 @@ def blend_premul(img, rgbp, a):
 def _use_stamp_kernel():
     """Mosaic stamp-placement kernel gate: TPU backend, obs-size render
     (the window-resolution path exceeds the 128-lane frame tile), not
-    disabled via PROCGEN2_TPU_STAMP_KERNEL=0."""
-    import os
-
-    if os.environ.get("PROCGEN2_TPU_STAMP_KERNEL", "1") == "0":
+    disabled via PROCGEN2_TPU_STAMP_KERNEL=0 (import-time constant)."""
+    if not STAMP_KERNEL_ENABLED:
         return False
     if OBS > 128:
         return False

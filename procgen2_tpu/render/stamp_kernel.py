@@ -51,13 +51,17 @@ def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
 
+    V = bank_ref.shape[0]
     for e in range(E):
         out_ref[e] = jnp.zeros_like(out_ref[e])
 
         def body(k, _):
             s = scale_ref[e, k]
+            v = var_ref[e, k]
 
-            @pl.when(s != 0.0)
+            # Out-of-range variants contribute nothing — same semantics
+            # as the matmul path's one-hot select (zero patch).
+            @pl.when((s != 0.0) & (v >= 0) & (v < V))
             def _():
                 rc = jnp.clip(r0_ref[e, k], -P, OBS)
                 cc = jnp.clip(c0_ref[e, k], -P, OBS)
@@ -67,14 +71,21 @@ def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
                 # drops the off-frame rows, wrapped by the roll).
                 base = jnp.clip((rc // 8) * 8, 0, OBS - W)
                 off = rc - base
-                patch = bank_ref[var_ref[e, k]] * s.astype(jnp.bfloat16)
+                patch = bank_ref[v] * s.astype(jnp.bfloat16)
                 buf = jnp.pad(
                     patch, ((0, 0), (0, W - P), (0, LANES - P))
                 ).astype(jnp.float32)
                 # Mosaic's rotate requires 32-bit data; the converts
-                # are register-local.
-                buf = pltpu.roll(buf, cc, axis=2)   # lanes -> column
-                buf = pltpu.roll(buf, off, axis=1)  # sublanes -> row
+                # are register-local. Dynamic rotate amounts must be
+                # non-negative (tpu.dynamic_rotate is unsigned-modulo
+                # only for power-of-two sizes, and W is 24/40/48 for
+                # several patch sizes), so wrap edge-crossing stamps'
+                # negative shifts by the axis length before rolling;
+                # the masks below still use the raw cc/off values.
+                cc_roll = jnp.where(cc < 0, cc + LANES, cc)
+                off_roll = jnp.where(off < 0, off + W, off)
+                buf = pltpu.roll(buf, cc_roll, axis=2)   # lanes -> column
+                buf = pltpu.roll(buf, off_roll, axis=1)  # sublanes -> row
                 mask = (
                     (lane >= cc) & (lane < cc + P) & (lane < OBS)
                     & (rowi >= off) & (rowi < off + P)
@@ -90,8 +101,8 @@ def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
         jax.lax.fori_loop(0, K, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("obs",))
-def _stamps(bank, var_idx, scale, r0, c0, obs):
+@functools.partial(jax.jit, static_argnames=("obs", "interpret"))
+def _stamps(bank, var_idx, scale, r0, c0, obs, interpret=False):
     N, K = var_idx.shape
     V = bank.shape[0]
     P = bank.shape[-1]
@@ -114,11 +125,12 @@ def _stamps(bank, var_idx, scale, r0, c0, obs):
         out_specs=pl.BlockSpec((E, 4, obs, obs), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, 4, obs, obs), jnp.bfloat16),
+        interpret=interpret,
     )(var_idx, scale, r0, c0, bank)
     return out
 
 
-def stamps_tpu(prem_bank, var_idx, scale, r0, c0, obs):
+def stamps_tpu(prem_bank, var_idx, scale, r0, c0, obs, interpret=False):
     """Composite K stamps/env from a premultiplied bank.
 
     prem_bank: bf16 [V, 4, P, P] premultiplied (rgb * a, a in [0, 1])
@@ -134,5 +146,6 @@ def stamps_tpu(prem_bank, var_idx, scale, r0, c0, obs):
         r0.astype(jnp.int32),
         c0.astype(jnp.int32),
         obs,
+        interpret,
     )
     return out[:, :3], out[:, 3:4]
