@@ -24,7 +24,7 @@ import numpy as np
 import pytest
 
 import procgen2_tpu as pg
-from procgen2_tpu.tools import bots
+from procgen2_tpu.tools import bots, predict
 from procgen2_tpu.tools.reference_levels import reference_bank
 
 f32 = np.float32
@@ -36,11 +36,14 @@ def _level_i(bank_np, i):
 
 def _run_batched(env, bank_np, seeds, actions_per_lane, render=False):
     """Step every lane through its own action list (NOOP-padded);
-    returns (rewards f32[T, N], terminated bool[T, N])."""
+    returns (rewards f32[T, N], terminated bool[T, N], keys0) where
+    keys0 are the post-reset game PRNG keys (stochastic-game
+    predictors replay the engine's keyed draw schedule from them)."""
     bank = jax.tree.map(jnp.asarray, bank_np)
     state = env.reset_pinned(
         bank, jax.random.key(123), jnp.asarray(seeds, jnp.uint32)
     )
+    keys0 = getattr(state.game, "rng", None)
     T = max(len(a) for a in actions_per_lane)
     N = len(seeds)
     A = np.full((T, N), bots.NOOP, np.int32)
@@ -52,7 +55,7 @@ def _run_batched(env, bank_np, seeds, actions_per_lane, render=False):
         state, ts = env.step_raw(state, jnp.asarray(A[t]), render=render)
         R[t] = np.asarray(ts.reward)
         D[t] = np.asarray(ts.terminated)
-    return R, D
+    return R, D, keys0
 
 
 # ---------------------------------------------------------------------------
@@ -66,8 +69,11 @@ CHASER_SEEDS = [5, 17, 20, 21, 28, 34, 35, 36, 43, 46, 59, 71, 83, 84, 88]
 
 def _run_closed_loop(env, bank_np, seeds, make_bot, state_reader,
                      max_steps=1200):
-    """Drive per-lane closed-loop bots; returns (R, D, T) like
-    `_run_batched` plus the per-step action log."""
+    """Drive per-lane closed-loop bots; returns (R, D, T, A, keys0):
+    rewards/terminations like `_run_batched`, the per-step action log
+    (for replaying through the independent predictors), and the batched
+    post-reset game PRNG keys (the stochastic games' predictors replay
+    the engine's keyed draw schedule from them)."""
     N = len(seeds)
     levels = [_level_i(bank_np, i) for i in range(N)]
     bots_ = [make_bot(l) for l in levels]
@@ -75,8 +81,10 @@ def _run_closed_loop(env, bank_np, seeds, make_bot, state_reader,
     state = env.reset_pinned(
         bank, jax.random.key(123), jnp.asarray(seeds, jnp.uint32)
     )
+    keys0 = getattr(state.game, "rng", None)
     R = np.zeros((max_steps, N), np.float32)
     D = np.zeros((max_steps, N), bool)
+    A = np.full((max_steps, N), bots.NOOP, np.int32)
     done = np.zeros(N, bool)
     T = max_steps
     for t in range(max_steps):
@@ -86,6 +94,7 @@ def _run_closed_loop(env, bank_np, seeds, make_bot, state_reader,
              for i in range(N)],
             np.int32,
         )
+        A[t] = acts
         state, ts = env.step_raw(state, jnp.asarray(acts), render=False)
         R[t] = np.asarray(ts.reward)
         D[t] = np.asarray(ts.terminated)
@@ -93,7 +102,7 @@ def _run_closed_loop(env, bank_np, seeds, make_bot, state_reader,
         if done.all():
             T = t + 1
             break
-    return R[:T], D[:T], T
+    return R[:T], D[:T], T, A[:T], keys0
 
 
 def test_chaser_scripted_full_clear_return_parity():
@@ -130,7 +139,7 @@ def test_chaser_scripted_full_clear_return_parity():
         preds.append((rew, term))
         totals.append(rew.sum())
 
-    R, D = _run_batched(env, bank_np, CHASER_SEEDS, acts)
+    R, D, _ = _run_batched(env, bank_np, CHASER_SEEDS, acts)
     for i, seed in enumerate(CHASER_SEEDS):
         rew, term = preds[i]
         n = len(rew)
@@ -157,7 +166,7 @@ def test_climber_scripted_ascent_return_parity():
     env = pg.make("climber", easy_mode=True)
     bank_np = reference_bank("climber", CLIMBER_SEEDS, easy_mode=True)
 
-    R, D, T = _run_closed_loop(
+    R, D, T, _, _ = _run_closed_loop(
         env, bank_np, CLIMBER_SEEDS,
         bots.ClimberBot,
         lambda gs: (
@@ -196,7 +205,7 @@ def test_coinrun_scripted_run_right_return_parity():
     env = pg.make("coinrun")
     bank_np = reference_bank("coinrun", COINRUN_SEEDS)
 
-    R, D, T = _run_closed_loop(
+    R, D, T, A, _ = _run_closed_loop(
         env, bank_np, COINRUN_SEEDS,
         bots.CoinrunBot,
         lambda gs: (
@@ -214,6 +223,16 @@ def test_coinrun_scripted_run_right_return_parity():
         assert r[end] == f32(10.0), f"seed {seed}: end reward {r[end]}"
         assert not r[:end].any(), f"seed {seed}: stray rewards"
         assert not d[:end].any()
+        # Independent re-simulation (tools/predict.CoinrunSim, a scalar
+        # numpy second implementation of coinrun.cpp:341-391 +
+        # common_systems.cpp:65-252): the engine's per-step reward
+        # sequence and termination step must match it bit-exactly.
+        pr, pt = predict.coinrun_predict(_level_i(bank_np, i), A[: end + 1, i])
+        assert len(pr) == end + 1, f"seed {seed}: predictor ended at " \
+            f"{len(pr) - 1}, engine at {end}"
+        assert np.array_equal(r, pr), f"seed {seed}: reward mismatch at " \
+            f"{np.nonzero(r != pr)[0][:5]}"
+        assert pt[-1] and not pt[:-1].any()
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +246,7 @@ def test_jumper_scripted_carrot_return_parity():
     env = pg.make("jumper", mode="easy")
     bank_np = reference_bank("jumper", JUMPER_SEEDS)
 
-    R, D, T = _run_closed_loop(
+    R, D, T, A, _ = _run_closed_loop(
         env, bank_np, JUMPER_SEEDS,
         bots.JumperBot,
         lambda gs: (
@@ -246,6 +265,15 @@ def test_jumper_scripted_carrot_return_parity():
         assert r[end] == f32(10.0), f"seed {seed}: end reward {r[end]}"
         assert not r[:end].any(), f"seed {seed}: stray rewards"
         assert not d[:end].any()
+        # Independent re-simulation (tools/predict.JumperSim, scalar
+        # numpy second implementation of jumper.cpp:341-375 +
+        # common_systems.cpp:57-201): bit-exact sequence match.
+        pr, pt = predict.jumper_predict(_level_i(bank_np, i), A[: end + 1, i])
+        assert len(pr) == end + 1, f"seed {seed}: predictor ended at " \
+            f"{len(pr) - 1}, engine at {end}"
+        assert np.array_equal(r, pr), f"seed {seed}: reward mismatch at " \
+            f"{np.nonzero(r != pr)[0][:5]}"
+        assert pt[-1] and not pt[:-1].any()
 
 
 # ---------------------------------------------------------------------------
@@ -262,7 +290,7 @@ def test_caveflyer_scripted_target_and_goal_return_parity():
     env = pg.make("caveflyer", mode="hard")
     bank_np = reference_bank("caveflyer", CAVEFLYER_SEEDS, mode="hard")
 
-    R, D, T = _run_closed_loop(
+    R, D, T, _, _ = _run_closed_loop(
         env, bank_np, CAVEFLYER_SEEDS,
         bots.CaveflyerBot,
         lambda gs: (
@@ -301,18 +329,29 @@ BOSSFIGHT_KILL_SEEDS = [0, 1, 2, 4, 5, 6, 8, 9, 10, 11]
 def test_bossfight_noop_death_return_parity():
     """A stationary agent is eventually hit by a boss bullet: exactly
     one scoring step, the terminal -10.0f (bossfight.cpp:318-320), and
-    0.0 everywhere before."""
+    0.0 everywhere before — with the exact death step independently
+    predicted by tools/predict.BossfightSim (a scalar numpy second
+    implementation of the boss phase machine + bullet kinematics,
+    common_systems.cpp:199-386)."""
     seeds = [1, 2, 3, 4, 5, 6, 7, 8, 9, 12]  # all die within ~170 steps
     env = pg.make("bossfight")  # hard (reference default)
     bank_np = reference_bank("bossfight", seeds)
     acts = [[bots.NOOP] * 250 for _ in seeds]
-    R, D = _run_batched(env, bank_np, seeds, acts)
+    R, D, keys0 = _run_batched(env, bank_np, seeds, acts)
     for i, seed in enumerate(seeds):
         d = D[:, i]
         assert d.any(), f"seed {seed}: noop agent survived 400 steps?"
         end = int(np.argmax(d))
         assert R[end, i] == f32(-10.0), f"seed {seed}: {R[end, i]}"
         assert not R[:end, i].any()
+        key = jax.tree.map(lambda x: x[i], keys0)
+        pr, pt = predict.bossfight_predict(
+            _level_i(bank_np, i), key, [bots.NOOP] * 250, mode="hard"
+        )
+        assert len(pr) == end + 1, f"seed {seed}: predictor death at " \
+            f"{len(pr) - 1}, engine at {end}"
+        assert np.array_equal(R[: end + 1, i], pr), f"seed {seed}"
+        assert pt[-1] and not pt[:-1].any()
 
 
 def test_bossfight_scripted_boss_kill_return_parity():
@@ -325,7 +364,7 @@ def test_bossfight_scripted_boss_kill_return_parity():
     env = pg.make("bossfight", mode="easy")
     bank_np = reference_bank("bossfight", BOSSFIGHT_KILL_SEEDS)
 
-    R, D, T = _run_closed_loop(
+    R, D, T, A, keys0 = _run_closed_loop(
         env, bank_np, BOSSFIGHT_KILL_SEEDS,
         bots.BossfightBot,
         lambda gs: (
@@ -342,3 +381,14 @@ def test_bossfight_scripted_boss_kill_return_parity():
         assert R[end, i] == f32(10.0), f"seed {seed}: end {R[end, i]}"
         assert not R[:end, i].any(), f"seed {seed}: stray rewards"
         assert not d[:end].any()
+        # Full-duel independent re-simulation: player volleys, shield
+        # bounces, HP rounds and the final phase_index 6 kill step must
+        # all reproduce in the numpy second implementation.
+        key = jax.tree.map(lambda x: x[i], keys0)
+        pr, pt = predict.bossfight_predict(
+            _level_i(bank_np, i), key, A[: end + 1, i], mode="easy"
+        )
+        assert len(pr) == end + 1, f"seed {seed}: predictor ended at " \
+            f"{len(pr) - 1}, engine at {end}"
+        assert np.array_equal(R[: end + 1, i], pr), f"seed {seed}"
+        assert pt[-1] and not pt[:-1].any()
