@@ -18,32 +18,15 @@ import numpy as np
 
 
 def compute_action(ks, pygame) -> int:
-    """The reference's key->15-action mapping (interactive_viewer.py:44-70)."""
-    if ks[pygame.K_a]:
-        action = 0
-    elif ks[pygame.K_d]:
-        action = 6
-    else:
-        action = 4
-
-    if action != 4:
-        if ks[pygame.K_w]:
-            action += 2
-        elif ks[pygame.K_s]:
-            action += 0
-        else:
-            action += 1
-    else:
-        if ks[pygame.K_w]:
-            action = 5
-        elif ks[pygame.K_s]:
-            action = 3
-        else:
-            action = 4
-
+    """Key -> 15-action mapping (the keymap interactive_viewer.py:44-70
+    specifies). Movement actions form a 3x3 grid, action = 3*x + y with
+    x in {left: 0, none: 1, right: 2} (a beats d) and
+    y in {down: 0, neutral: 1, up: 2} (w beats s); e (fire) overrides."""
     if ks[pygame.K_e]:
-        action = 9
-    return action
+        return 9
+    x = 0 if ks[pygame.K_a] else 2 if ks[pygame.K_d] else 1
+    y = 2 if ks[pygame.K_w] else 0 if ks[pygame.K_s] else 1
+    return 3 * x + y
 
 
 def main(argv=None):

@@ -24,6 +24,10 @@ from jax.experimental import checkify
 # index_checks is NOT in the default set: jax 0.9.0's checkify rewrite
 # of batched scatter ops (the auto-reset lane merge) trips an internal
 # IndexError; opt in per-function for gather-only code paths.
+# tests/test_guards.py::test_checkify_batched_scatter_bug_tracker is a
+# strict xfail pinning the upstream bug — when a jax upgrade clears it,
+# that test XPASSes (failing the suite) and index_checks should move
+# back into this set.
 DEFAULT_CHECKS = frozenset(checkify.float_checks | checkify.user_checks)
 
 

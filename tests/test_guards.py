@@ -33,3 +33,24 @@ def test_checked_raises_on_oob_gather():
     assert float(cf(3)) == 3.0
     with pytest.raises(checkify.JaxRuntimeError):
         cf(42)
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="jax 0.9.x checkify cannot rewrite batched scatters (internal "
+    "IndexError) — the reason index_checks is NOT in guards.DEFAULT_CHECKS. "
+    "When a jax upgrade makes this XPASS, move checkify.index_checks into "
+    "DEFAULT_CHECKS (utils/guards.py) and drop this xfail.",
+)
+def test_checkify_batched_scatter_bug_tracker():
+    """Minimal repro of the upstream bug that keeps index checks opt-in:
+    checkify(index_checks) over a vmapped .at[].set trips an internal
+    IndexError inside the checkify rewrite (the env auto-reset lane
+    merge is exactly this shape)."""
+
+    def f(x, i):
+        return x.at[i].set(1.0)
+
+    cf = checkify.checkify(jax.vmap(f), errors=checkify.index_checks)
+    err, _ = jax.jit(cf)(jnp.zeros((4, 8)), jnp.array([1, 2, 3, 9]))
+    err.throw()  # unreachable today: tracing raises IndexError first
