@@ -54,10 +54,15 @@ def make(game, **config) -> Environment:
     game-module protocol (`core/env.py:16-24`) — the ABI let users load
     arbitrary conforming .so files (`cenv/test_env.c`); here arbitrary
     conforming modules plug in the same way (see `examples/wave_game.py`).
+
+    `obs_format` ("hwc" default, or "chw" for planar [N, 3, 64, 64]
+    observations that skip the per-step HWC transpose) is consumed by
+    the Environment wrapper, not the game Config.
     """
+    obs_format = config.pop("obs_format", "hwc")
     mod = game if not isinstance(game, str) else _game_module(game)
     cfg = mod.Config(**config)
-    return Environment(mod, cfg)
+    return Environment(mod, cfg, obs_format=obs_format)
 
 
 __all__ = [

@@ -68,9 +68,18 @@ class Environment:
         state, ts = jax.jit(env.step)(bank, state, actions)
     """
 
-    def __init__(self, game, cfg):
+    def __init__(self, game, cfg, obs_format: str = "hwc"):
+        if obs_format not in ("hwc", "chw"):
+            raise ValueError(
+                f"obs_format must be 'hwc' or 'chw', got {obs_format!r}"
+            )
         self.game = game
         self.cfg = cfg
+        # "hwc" (default): uint8 [N, 64, 64, 3], the reference layout
+        # (coinrun.cpp:377-388's RGBA->RGB copy). "chw": planar
+        # [N, 3, 64, 64] — the native layout of the batched renderers
+        # and of NCHW learners; skips the per-step HWC transpose.
+        self.obs_format = obs_format
         # Jit entry points once per Environment instance; `num_envs` /
         # `num_levels` are static (they set array shapes).
         self.reset = jax.jit(self._reset, static_argnames="num_envs")
@@ -152,11 +161,21 @@ class Environment:
     def _observe_batch(self, game_states):
         """Batched rendering; games may provide an `observe_batch` that
         exploits cross-env structure (shared cameras, fused compositing
-        kernels) instead of a plain vmap."""
+        kernels) instead of a plain vmap. Game `observe_batch` functions
+        return planar uint8 [N, 3, OBS, OBS]; the requested layout
+        (`obs_format`) is applied here, in one place."""
         fn = getattr(self.game, "observe_batch", None)
         if fn is not None:
-            return fn(self.cfg, game_states)
-        return jax.vmap(self.game.observe, in_axes=(None, 0))(self.cfg, game_states)
+            planar = fn(self.cfg, game_states)
+            if self.obs_format == "hwc":
+                return jnp.transpose(planar, (0, 2, 3, 1))
+            return planar
+        obs = jax.vmap(self.game.observe, in_axes=(None, 0))(
+            self.cfg, game_states
+        )  # single-env observe renders HWC
+        if self.obs_format == "chw":
+            return jnp.moveaxis(obs, -1, 1)
+        return obs
 
     def _reset(self, bank, key, num_envs: int):
         keys = jax.random.split(key, num_envs)
@@ -302,7 +321,13 @@ class Environment:
     # Spaces (mirrors cenv.py:211-245's dict-of-spaces surface)
     # ------------------------------------------------------------------
     def observation_space(self):
-        return {OBS_KEY: self.game.obs_space(self.cfg)}
+        space = self.game.obs_space(self.cfg)
+        if self.obs_format == "chw" and len(space.shape) == 3:
+            import dataclasses as _dc
+
+            h, w, c = space.shape
+            space = _dc.replace(space, shape=(c, h, w))
+        return {OBS_KEY: space}
 
     def action_space(self):
         return {"action": self.game.action_space(self.cfg)}

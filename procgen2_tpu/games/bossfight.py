@@ -849,10 +849,9 @@ def observe_batch(cfg: Config, states: State):
     def blend(img, group, var, cx, cy, alives=None, alpha=None):
         P = banks[group].shape[-1]
         r0, c0 = _r0c0(cx, cy, P)
-        rgbp, a = C.stamps_from_pixel_bank(
-            banks[group], var, r0, c0, alives=alives, alpha=alpha
+        return C.composite_stamps(
+            img, banks[group], var, r0, c0, alives=alives, alpha=alpha
         )
-        return C.blend_premul(img, rgbp, a)
 
     # barriers (bossfight.cpp:480: sprite offset -0.15, scale 0.3)
     blank = jnp.broadcast_to(level.barrier_tex.astype(jnp.int32), (N, 4)) \
@@ -919,4 +918,4 @@ def observe_batch(cfg: Config, states: State):
                 states.pos[:, None, 0], states.pos[:, None, 1])
 
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
-    return jnp.transpose(obs, (0, 2, 3, 1))
+    return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment

@@ -728,9 +728,8 @@ def observe_batch(cfg: Config, states: State):
     def blend(img, bank, var, centers, alives=None, alpha=None):
         P = bank.shape[-1]
         r0, c0 = pix(centers, P)
-        rgbp, a = C.stamps_from_pixel_bank(bank, var, r0, c0,
-                                           alives=alives, alpha=alpha)
-        return C.blend_premul(img, rgbp, a)
+        return C.composite_stamps(img, bank, var, r0, c0,
+                                  alives=alives, alpha=alpha)
 
     # thrust particles (before sprites, caveflyer.cpp:437)
     ratio = jnp.clip(
@@ -794,4 +793,4 @@ def observe_batch(cfg: Config, states: State):
     img = blend(img, banks["ship"], sbin2[:, None], states.pos[:, None, :])
 
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
-    return jnp.transpose(obs, (0, 2, 3, 1))
+    return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment

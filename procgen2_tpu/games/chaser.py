@@ -45,6 +45,7 @@ from flax import struct
 
 from ..core import spaces
 from ..gen.kruskal import kruskal_maze, masked_uniform_cell
+from ..physics.aabb import check_collision
 from ..render import atlas as atlas_lib
 from ..render import compositor as C
 
@@ -405,9 +406,11 @@ def _mob_substep(level, mob_pos, mob_vel, hatch_timer, eat_timer, agent_pos, key
         px = px + jnp.where(hatched, v[0] * DT, 0.0)
         py = py + jnp.where(hatched, v[1] * DT, 0.0)
 
-        # Agent contact (1x1 boxes both)
-        contact = hatched & (
-            (jnp.abs(px - agent_pos[0]) < 1.0) & (jnp.abs(py - agent_pos[1]) < 1.0)
+        # Agent contact (1x1 boxes both; check_collision's exact f32
+        # expression, see _collect_points)
+        contact = hatched & check_collision(
+            agent_pos[0] - 0.5, agent_pos[1] - 0.5, 1.0, 1.0,
+            px - 0.5, py - 0.5, 1.0, 1.0,
         )
         hit = contact & (eat_timer == 0.0)
         eaten = contact & (eat_timer > 0.0)
@@ -441,25 +444,42 @@ def _collect_points(level, point_grid, orb_taken, agent_pos):
     orb_collected).
     """
     D = point_grid.shape[0]
-    ax, ay = agent_pos[0], agent_pos[1]
-    # Pellets (0.6 pellet vs 1.0 agent boxes -> |center delta| < 0.8):
-    # the overlap window only ever covers the 3x3 cells around the
+    # Overlap tests mirror check_collision's EXACT f32 expression
+    # (helpers.cpp:40-46: a.x < b.x + b.w && a.x + a.w > b.x, operands
+    # built as bounds + position) rather than the algebraically equal
+    # |center delta| < 0.8 form: at boundary events the two round
+    # differently, shifting the collection sub-step — and with the
+    # last-write-wins reward quirk that flips reward VISIBILITY.
+    # Caught by executing the compiled reference engine
+    # (tests/test_reference_execution.py): the |d| form diverged from
+    # the real cenv_step reward stream at f32-boundary pickups.
+    ax = agent_pos[0] - 0.5
+    ay = agent_pos[1] - 0.5
+    # Pellet rects: (-0.3, -0.3, 0.6, 0.6) at cell centers built as
+    # f32((i + 0.5) - 0.3) like spawn_point (tilemap.cpp:52-58), with
+    # the rect edges PRE-EVALUATED in strict step-by-step f32 on the
+    # host: XLA constant-folds traced constant chains like
+    # ((i + 0.5) - 0.3) + 0.6 in one higher-precision pass (1.8 instead
+    # of the reference's runtime 1.8000001f), which flipped boundary
+    # pickups. The overlap window only covers the 3x3 cells around the
     # agent, so the dense whole-grid test is exactly the reference's
     # per-cell loop — and it is elementwise (no gathers/scatters).
-    txs = jnp.arange(D, dtype=jnp.float32)[None, :]  # columns
-    tys = jnp.arange(D, dtype=jnp.float32)[:, None]  # rows
+    cf = np.float32(np.arange(D, dtype=np.float32) + np.float32(0.5))
+    lo = np.float32(cf - np.float32(0.3))           # b.x
+    hi = np.float32(lo + np.float32(0.6))           # b.x + b.w
     hits = (
         point_grid
-        & (jnp.abs(ax - (txs + 0.5)) < 0.8)
-        & (jnp.abs(ay - (tys + 0.5)) < 0.8)
+        & (ax < hi[None, :]) & (ax + 1.0 > lo[None, :])
+        & (ay < hi[:, None]) & (ay + 1.0 > lo[:, None])
     )
     delta = hits.sum().astype(jnp.int32)
     point_grid = point_grid & ~hits
 
     orb_hit = (
         level.orb_exists & ~orb_taken
-        & (jnp.abs(ax - level.orb_pos[:, 0]) < 1.0)
-        & (jnp.abs(ay - level.orb_pos[:, 1]) < 1.0)
+        & check_collision(ax, ay, 1.0, 1.0,
+                          level.orb_pos[:, 0] - 0.5,
+                          level.orb_pos[:, 1] - 0.5, 1.0, 1.0)
     )
     delta = delta + orb_hit.sum()
     orb_taken = orb_taken | orb_hit
@@ -698,8 +718,7 @@ def observe_batch(cfg: Config, states: State):
     c0 = jnp.round(
         (centers[..., 0] - center) * ppu + C.OBS / 2 - P / 2
     ).astype(jnp.int32)
-    rgbp, a = C.stamps_from_pixel_bank(bank, vars_, r0, c0, alives=alives)
-    img = C.blend_premul(img, rgbp, a)
+    img = C.composite_stamps(img, bank, vars_, r0, c0, alives=alives)
 
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
-    return jnp.transpose(obs, (0, 2, 3, 1))
+    return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment

@@ -560,9 +560,8 @@ def observe_batch(cfg: Config, states: State):
     vars_ = jnp.concatenate([crys_var, mob_var], axis=1)
     alives = jnp.concatenate([live, level.mob_alive], axis=1)
     r0, c0 = pix(centers, 8)
-    rgbp, a = C.stamps_from_pixel_bank(banks["moving"], vars_, r0, c0,
-                                       alives=alives)
-    img = C.blend_premul(img, rgbp, a)
+    img = C.composite_stamps(img, banks["moving"], vars_, r0, c0,
+                             alives=alives)
 
     # agent: 0.8 x 1.1 at (x-0.5, y-1.0) -> center (x-0.1, y-0.45)
     pose = jnp.where(
@@ -576,8 +575,7 @@ def observe_batch(cfg: Config, states: State):
         [states.pos[:, 0] - 0.1, states.pos[:, 1] - 0.45], axis=-1
     )[:, None, :]
     r0, c0 = pix(acenter, 8)
-    rgbp, a = C.stamps_from_pixel_bank(banks["agent"], avar, r0, c0)
-    img = C.blend_premul(img, rgbp, a)
+    img = C.composite_stamps(img, banks["agent"], avar, r0, c0)
 
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
-    return jnp.transpose(obs, (0, 2, 3, 1))
+    return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment

@@ -33,7 +33,7 @@ from flax import struct
 
 from ..core import spaces
 from ..physics.tiles import (
-    fetch_window_rows, resolve_from_rows, resolve_tile_collisions,
+    fetch_window_patch, resolve_from_patch, resolve_tile_collisions,
     NONE, FULL, DOWN_ONLY,
 )
 from ..physics.aabb import check_collision
@@ -414,21 +414,23 @@ def reset(cfg: Config, level: Level, key) -> State:
 # Step (coinrun.cpp:341-391)
 # ---------------------------------------------------------------------------
 
-def _mob_substep(rows_wall, rows_ledge, mob_pos, mob_vx, alive, active):
+def _mob_substep(patches, mob_pos, mob_vx, alive, active):
     """System_Mob_AI::update (common_systems.cpp:65-105).
 
-    Mob y never changes, so the sensors' window rows are prefetched once
-    per env step (see step()); each sub-step resolve is an elementwise
-    column selection over those rows."""
+    Mob y never changes and x moves <= 0.15 units per env step, so both
+    sensors' 3x5 window patches are prefetched once per env step (see
+    step()); each sub-step resolve is a 5-wide elementwise selection —
+    no grid reads in the sub-step loop at all."""
+    patch_wall, patch_ledge, lx0 = patches
     x = mob_pos[:, 0] + mob_vx * DT
     y = mob_pos[:, 1]
     # wall sensor: full vs walls
-    wx, _, wcol = resolve_from_rows(
-        rows_wall, _LUT_WALL, x - 0.5, y - 0.6, 1.0, 0.5, WORLD, WALL_MID
+    wx, _, wcol = resolve_from_patch(
+        patch_wall, lx0, _LUT_WALL, x - 0.5, y - 0.6, 1.0, 0.5, WALL_MID
     )
     # floor (ledge) sensor: "collides with empty"
-    fx, _, fcol = resolve_from_rows(
-        rows_ledge, _LUT_EMPTY, x - 0.5, y + 0.6, 1.0, 0.5, WORLD, WALL_MID
+    fx, _, fcol = resolve_from_patch(
+        patch_ledge, lx0, _LUT_EMPTY, x - 0.5, y + 0.6, 1.0, 0.5, WALL_MID
     )
     new_x = jnp.where(fcol, fx + 0.5, wx + 0.5)
     new_vx = jnp.where(wcol | fcol, -mob_vx, mob_vx)
@@ -517,19 +519,24 @@ def step(cfg: Config, state: State, action):
     done = jnp.bool_(False)
     reward = jnp.float32(0.0)
 
-    # Mob sensor rows: y is constant all step, so fetch both sensors'
-    # 3-row windows once (a single contraction) instead of per sub-step
-    rows_wall = fetch_window_rows(
-        level.grid, jnp.floor(mob_pos[:, 1] - 0.6).astype(jnp.int32), WALL_MID
+    # Mob sensor patches: y is constant all step and x moves <= 0.15
+    # units, so fetch both sensors' 3x5 windows once (margin 1 column
+    # each side of the start window) instead of per sub-step.
+    lx0 = jnp.floor(mob_pos[:, 0] - 0.5).astype(jnp.int32) - 1
+    patch_wall = fetch_window_patch(
+        level.grid, lx0,
+        jnp.floor(mob_pos[:, 1] - 0.6).astype(jnp.int32), WALL_MID,
     )
-    rows_ledge = fetch_window_rows(
-        level.grid, jnp.floor(mob_pos[:, 1] + 0.6).astype(jnp.int32), WALL_MID
+    patch_ledge = fetch_window_patch(
+        level.grid, lx0,
+        jnp.floor(mob_pos[:, 1] + 0.6).astype(jnp.int32), WALL_MID,
     )
+    patches = (patch_wall, patch_ledge, lx0)
 
     for _ in range(SUB_STEPS):  # sub-step loop with early exit via masking,
         #                          coinrun.cpp:357-371
         active = ~done
-        mob_pos, mob_vx = _mob_substep(rows_wall, rows_ledge, mob_pos, mob_vx,
+        mob_pos, mob_vx = _mob_substep(patches, mob_pos, mob_vx,
                                        level.mob_alive, active)
         (n_pos, n_vel, n_og, n_ff, dead, achieved) = _agent_substep(
             cfg, level, pos, vel, on_ground, face_forward, a
@@ -640,8 +647,9 @@ def action_space(cfg: Config):
 # Batched fast renderer: per-env camera, themed tile stack, culled stamps
 # ---------------------------------------------------------------------------
 
-MOB_CULL = 12  # visible window is ~13.3 units of a 64-unit map; pits hold
-SAW_CULL = 12  # at most max_dx=7 contiguous saws/mobs
+HAZARD_CULL = 16  # joint saw+mob cull: the 13.3-unit visible window holds
+#                   at most one 7-wide danger pit plus a few flat-section
+#                   hazards (tilemap.cpp:174-257)
 
 
 @functools.lru_cache(maxsize=None)
@@ -756,39 +764,39 @@ def observe_batch(cfg: Config, states: State):
         return (jnp.round(py - P / 2).astype(jnp.int32),
                 jnp.round(px - P / 2).astype(jnp.int32))
 
-    oh_saw = _cull(None, cam_x, level.saw_pos, level.saw_alive, SAW_CULL)
-    saw_pos = jnp.einsum("nkm,nmc->nkc", oh_saw, level.saw_pos)
-    saw_alive = jnp.einsum(
-        "nkm,nm->nk", oh_saw, level.saw_alive.astype(jnp.bfloat16)) > 0.5
-
-    oh_mob = _cull(None, cam_x, states.mob_pos, level.mob_alive, MOB_CULL)
-    mob_pos = jnp.einsum("nkm,nmc->nkc", oh_mob, states.mob_pos)
-    mob_alive = jnp.einsum(
-        "nkm,nm->nk", oh_mob, level.mob_alive.astype(jnp.bfloat16)) > 0.5
-    mob_kind = jnp.round(jnp.einsum(
-        "nkm,nm->nk", oh_mob, level.mob_variant.astype(jnp.bfloat16))
-    ).astype(jnp.int32)
-    mob_flip = jnp.einsum(
-        "nkm,nm->nk", oh_mob,
-        (states.mob_vx > 0.0).astype(jnp.bfloat16)) > 0.5
-
+    # Joint saw+mob cull: the visible window spans 13.3 units, a level
+    # holds at most one 7-wide danger pit (tilemap.cpp:201-209) plus
+    # scattered single flat-section hazards, so 16 joint slots always
+    # cover the on-screen set — and the stamp cost scales with the slot
+    # count (the separate 12+12 culls carried 8 always-dead slots).
     saw_frame = (states.t % 2).astype(jnp.int32)  # anim rate 1.0
     mob_frame = ((states.t // 5) % 2).astype(jnp.int32)  # anim rate 0.2
-    saw_var = jnp.broadcast_to(saw_frame[:, None], saw_pos.shape[:2])
-    coin_var = jnp.full((N, 1), 2, jnp.int32)
-    mob_var = 3 + mob_kind * 4 + mob_frame[:, None] * 2 + mob_flip
+    saw_var_full = jnp.broadcast_to(
+        saw_frame[:, None], (N, MAX_SAWS)).astype(jnp.int32)
+    mob_var_full = (
+        3 + level.mob_variant.astype(jnp.int32) * 4
+        + mob_frame[:, None] * 2 + (states.mob_vx > 0.0)
+    )
+    all_pos = jnp.concatenate([level.saw_pos, states.mob_pos], axis=1)
+    all_alive = jnp.concatenate([level.saw_alive, level.mob_alive], axis=1)
+    all_var = jnp.concatenate([saw_var_full, mob_var_full], axis=1)
 
-    centers = jnp.concatenate(
-        [saw_pos, level.coin_pos[:, None, :], mob_pos], axis=1
-    )
-    vars_ = jnp.concatenate([saw_var, coin_var, mob_var], axis=1)
-    alives = jnp.concatenate(
-        [saw_alive, jnp.ones((N, 1), bool), mob_alive], axis=1
-    )
+    oh = _cull(None, cam_x, all_pos, all_alive, HAZARD_CULL)
+    hz_pos = jnp.einsum("nkm,nmc->nkc", oh, all_pos)
+    hz_alive = jnp.einsum(
+        "nkm,nm->nk", oh, all_alive.astype(jnp.bfloat16)) > 0.5
+    hz_var = jnp.round(jnp.einsum(
+        "nkm,nm->nk", oh, all_var.astype(jnp.bfloat16))).astype(jnp.int32)
+
+    # slot order = painter order on the kernel path: hazards first,
+    # coin last (observe draws saws, mobs, then the coin)
+    coin_var = jnp.full((N, 1), 2, jnp.int32)
+    centers = jnp.concatenate([hz_pos, level.coin_pos[:, None, :]], axis=1)
+    vars_ = jnp.concatenate([hz_var, coin_var], axis=1)
+    alives = jnp.concatenate([hz_alive, jnp.ones((N, 1), bool)], axis=1)
     r0, c0 = pix(centers, 8)
-    rgbp, a = C.stamps_from_pixel_bank(banks["moving"], vars_, r0, c0,
-                                       alives=alives)
-    img = C.blend_premul(img, rgbp, a)
+    img = C.composite_stamps(img, banks["moving"], vars_, r0, c0,
+                             alives=alives)
 
     # ---- agent (1x2 units; center is pos - (0, 1)) ----
     pose = jnp.where(
@@ -802,8 +810,7 @@ def observe_batch(cfg: Config, states: State):
         [states.pos[:, 0], states.pos[:, 1] - 1.0], axis=-1
     )[:, None, :]
     r0, c0 = pix(acenter, 12)
-    rgbp, a = C.stamps_from_pixel_bank(banks["agent"], avar, r0, c0)
-    img = C.blend_premul(img, rgbp, a)
+    img = C.composite_stamps(img, banks["agent"], avar, r0, c0)
 
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
-    return jnp.transpose(obs, (0, 2, 3, 1))
+    return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment

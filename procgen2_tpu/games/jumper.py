@@ -722,21 +722,19 @@ def observe_batch(cfg: Config, states: State):
         axis=-1,
     )
     r0, c0 = pix(pcenter, 8)
-    rgbp, a = C.stamps_from_pixel_bank(
-        banks["moving"], pvar, r0, c0,
+    img = C.composite_stamps(
+        img, banks["moving"], pvar, r0, c0,
         alives=states.part_life > 0.0, alpha=0.5 * (1.0 - ratio),
     )
-    img = C.blend_premul(img, rgbp, a)
 
     # spikes render above particles in class z-order (z=1, jumper.cpp:471)
     img = blend_kind(img, G == SPIKE, spike_img)
 
     # ---- carrot goal + bunny ----
     r0, c0 = pix(level.goal_pos[:, None, :], 8)
-    rgbp, a = C.stamps_from_pixel_bank(
-        banks["moving"], jnp.zeros((N, 1), jnp.int32), r0, c0
+    img = C.composite_stamps(
+        img, banks["moving"], jnp.zeros((N, 1), jnp.int32), r0, c0
     )
-    img = C.blend_premul(img, rgbp, a)
 
     pose = jnp.where(
         (jnp.abs(states.vel[:, 0]) < 0.01) & states.on_ground, 0,
@@ -752,8 +750,7 @@ def observe_batch(cfg: Config, states: State):
          states.pos[:, 1] - 1.0 + off_y + scale * 1.33 * 0.5], axis=-1
     )[:, None, :]
     r0, c0 = pix(bcenter, 8)
-    rgbp, a = C.stamps_from_pixel_bank(banks["bunny"], bvar, r0, c0)
-    img = C.blend_premul(img, rgbp, a)
+    img = C.composite_stamps(img, banks["bunny"], bvar, r0, c0)
 
     # ---- compass HUD (screen space, jumper.cpp:473-509) ----
     crgb_np, ca_np = _compass_overlay(C.OBS)
@@ -777,8 +774,7 @@ def observe_batch(cfg: Config, states: State):
     ncy = cs * 0.5 + offy + cs * 0.25 * diry + cs * 0.05
     r0 = jnp.round(ncy - 16.0).astype(jnp.int32)[:, None]
     c0 = jnp.round(ncx - 16.0).astype(jnp.int32)[:, None]
-    rgbp, a = C.stamps_from_pixel_bank(banks["needle"], nvar, r0, c0)
-    img = C.blend_premul(img, rgbp, a)
+    img = C.composite_stamps(img, banks["needle"], nvar, r0, c0)
 
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
-    return jnp.transpose(obs, (0, 2, 3, 1))
+    return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment

@@ -255,7 +255,8 @@ def observe_batch(cfg: Config, states: State):
                5 mouse-on-cheese, 6 mouse(flip)-on-cheese
     """
     if cfg.agent_centered:  # memory mode: camera follows the agent
-        return jax.vmap(lambda s: observe(cfg, s))(states)
+        hwc = jax.vmap(lambda s: observe(cfg, s))(states)
+        return jnp.moveaxis(hwc, -1, 1)  # planar contract (core/env.py)
 
     atlas, idx, bgs, _lut = _assets()
     atlas_j = jnp.asarray(atlas)
@@ -347,7 +348,7 @@ def observe_batch(cfg: Config, states: State):
     img = blend(img, (Gi == 3) | (Gi == 5), mouse_img)
     img = blend(img, (Gi == 4) | (Gi == 6), mouse_flip)
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
-    return jnp.transpose(obs, (0, 2, 3, 1))
+    return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment
 
 
 def obs_space(cfg: Config):

@@ -149,16 +149,65 @@ def fetch_window_rows(grid, ly, oob_id):
     """Tile values of the 3 window rows starting at `ly` for K probes:
     one batched contraction per call (fold K*3 into the matmul M dim).
 
-    grid [H, W]; ly i32 [K] -> rows i32 [K, 3, W] with row-OOB folded.
+    grid [H, W]; ly i32 [K] -> rows int8 [K, 3, W] with row-OOB folded
+    (int8: tile ids are tiny, and under vmap the [N, K, 3, W] rows
+    tensor is re-read every sub-step — i32 rows cost 4x the HBM).
     """
     H, W = grid.shape
     ys = ly[:, None] + jnp.arange(_WINDOW)  # [K, 3]
     ohy = (jnp.arange(H) == ys[..., None]).astype(jnp.bfloat16)  # [K,3,H]
     K = ys.shape[0]
     rows = (ohy.reshape(K * _WINDOW, H) @ grid.astype(jnp.bfloat16))
-    rows = jnp.round(rows).astype(jnp.int32).reshape(K, _WINDOW, W)
+    rows = jnp.round(rows).astype(jnp.int8).reshape(K, _WINDOW, W)
     iny = ((ys >= 0) & (ys < H))[..., None]
-    return jnp.where(iny, rows, oob_id)
+    return jnp.where(iny, rows, jnp.int8(oob_id))
+
+
+def fetch_window_patch(grid, lx0, ly, oob_id, width=5):
+    """Tile values of a 3-row x `width`-col window at (lx0, ly) for K
+    probes: int8 [K, 3, width], OOB folded to `oob_id`.
+
+    For entities whose per-step movement is bounded by one tile
+    (coinrun/climber patrol mobs move <= 0.15 units/step), the whole
+    step's sub-step resolves read from this one small patch instead of
+    full-width rows — the [N, K, 3, W] rows tensor and its per-sub-step
+    column reductions were ~3 ms/step of coinrun's profile at batch
+    4096; the patch is W/width of the traffic and the sub-step select
+    shrinks from a 64-wide reduction to a `width`-wide one.
+    """
+    rows = fetch_window_rows(grid, ly, oob_id)  # [K, 3, W] int8
+    W = grid.shape[1]
+    xs = lx0[:, None] + jnp.arange(width)  # [K, width]
+    ohx = (jnp.arange(W) == xs[..., None])  # [K, width, W]
+    vals = jnp.sum(
+        jnp.where(ohx[:, None, :, :], rows[:, :, None, :], 0), axis=-1
+    ).astype(jnp.int8)  # [K, 3, width]
+    inx = ((xs >= 0) & (xs < W))[:, None, :]
+    return jnp.where(inx, vals, jnp.int8(oob_id))
+
+
+def resolve_from_patch(patch, lx0, coll_lut, x, y, w, h, oob_id,
+                       fallthrough=False, step_y=0.0):
+    """resolve_tile_collisions for probes whose 3 x `width` window patch
+    was prefetched with `fetch_window_patch` at column origin `lx0`.
+
+    The probe's current 3x3 window starts at floor(x), which the caller
+    guarantees stays within [lx0, lx0 + width - 3] (fetch with enough
+    margin for the step's movement). The per-sub-step work is a
+    `width`-wide elementwise select — no grid reads at all.
+    """
+    lx = jnp.floor(x).astype(jnp.int32)
+    ly = jnp.floor(y).astype(jnp.int32)
+    width = patch.shape[-1]
+    d = jnp.clip(lx - lx0, 0, width - _WINDOW)  # [...]
+    # vals[..., dy, dx] = patch[..., dy, d + dx]
+    cols = d[..., None] + jnp.arange(_WINDOW)  # [..., 3]
+    oh = cols[..., :, None] == jnp.arange(width)  # [..., 3(dx), width]
+    vals = jnp.sum(
+        jnp.where(oh[..., None, :, :], patch[..., :, None, :], 0), axis=-1
+    )  # [..., 3(dy), 3(dx)]
+    types = _apply_lut(vals, coll_lut)
+    return _resolve_core(types, lx, ly, x, y, w, h, fallthrough, step_y)
 
 
 def _resolve_core(types, lx, ly, x, y, w, h, fallthrough, step_y):

@@ -455,6 +455,69 @@ def place_stamps(prem, r0, c0):
     return out[:, :3], out[:, 3:4]
 
 
+def _premultiply_bank(pbank):
+    """u8/float [V, 4, P, P] -> premultiplied bf16 bank (trace-time
+    constant, folded once by XLA)."""
+    pbank = jnp.asarray(pbank).astype(jnp.float32)
+    a_tex = pbank[:, 3:4] * (1.0 / 255.0)
+    return jnp.concatenate(
+        [pbank[:, :3] * a_tex, a_tex], axis=1
+    ).astype(jnp.bfloat16)
+
+
+def _stamp_kernel_ok(P, K):
+    """Kernel-vs-matmul dispatch (measured on v5e at batch 4096): the
+    Mosaic kernel costs ~flat per live stamp slot regardless of P (plus
+    it skips dead slots), while the matmul path scales with K * P bands
+    (~0.07/0.22/0.68 ms per slot at P=4/8/20) but picks up in-graph
+    relayout copies. Small-K small-P groups (chaser's 6 sprites,
+    jumper's single goal/bunny) stay on the matmuls; big pools and
+    large patches go to the kernel."""
+    if not (_use_stamp_kernel() and (P >= 12 or (P >= 6 and K * P >= 96))):
+        return False
+    from . import stamp_kernel
+
+    # (the kernel's aligned row window must fit inside the frame)
+    return stamp_kernel._win(P) <= OBS
+
+
+def _stamp_scale(N, K, alives, alpha):
+    scale = jnp.ones((N, K), jnp.float32)
+    if alives is not None:
+        scale = scale * alives.astype(jnp.float32)
+    if alpha is not None:
+        scale = scale * jnp.asarray(alpha, jnp.float32)
+    return scale
+
+
+def composite_stamps(img, pbank, var_idx, r0, c0, alives=None, alpha=None):
+    """Alpha-blend K pixel-snapped stamps/env OVER `img`, z-ordered by
+    slot index (the painter order of renderer.cpp:5-101).
+
+    On the TPU kernel path the frame block rides through the Mosaic
+    kernel and each stamp blends over it in slot order — one img-in /
+    img-out round trip replaces the zeroed-accumulator kernel PLUS the
+    separate full-frame blend (which cost an extra read of both). The
+    matmul path composites the group's premultiplied sum as before
+    (exact when stamps don't overlap; saturating approximation when
+    they do — see sprite_stamps).
+
+    img: bf16 [N, 3, OBS, OBS]; pbank: [V, 4, P, P] u8/bf16.
+    """
+    prem_bank = _premultiply_bank(pbank)
+    N, K = var_idx.shape
+    P = pbank.shape[-1]
+    if _stamp_kernel_ok(P, K):
+        from . import stamp_kernel
+
+        return stamp_kernel.composite_tpu(
+            img, prem_bank, var_idx, _stamp_scale(N, K, alives, alpha),
+            r0, c0, OBS,
+        )
+    rgbp, a = _stamps_matmul(prem_bank, var_idx, r0, c0, alives, alpha)
+    return blend_premul(img, rgbp, a)
+
+
 def stamps_from_pixel_bank(pbank, var_idx, r0, c0, alives=None, alpha=None):
     """Pixel-snapped stamps: patches pre-rasterized per variant.
 
@@ -477,37 +540,27 @@ def stamps_from_pixel_bank(pbank, var_idx, r0, c0, alives=None, alpha=None):
     # elementwise stage forced XLA into batch-minor layouts and a
     # full relayout copy of the [N, K, 4, P, P] patch tensor per stamp
     # group (profiled 3.6+1.5+1.0 ms/step on bossfight at batch 4096).
-    pbank = jnp.asarray(pbank).astype(jnp.float32)
-    a_tex = pbank[:, 3:4] * (1.0 / 255.0)
-    prem_bank = jnp.concatenate(
-        [pbank[:, :3] * a_tex, a_tex], axis=1
-    ).astype(jnp.bfloat16)
+    prem_bank = _premultiply_bank(pbank)
     N, K = var_idx.shape
-    V, _, P, _ = pbank.shape
-    # Kernel-vs-matmul dispatch (measured on v5e at batch 4096): the
-    # Mosaic kernel costs ~flat ~0.32 ms per stamp slot regardless of P
-    # (plus it skips dead slots), while the matmul path scales with
-    # K * P bands (~0.07/0.22/0.68 ms per slot at P=4/8/20) but picks up
-    # in-graph relayout copies. Small-K small-P groups (chaser's 6
-    # sprites, jumper's single goal/bunny) stay on the matmuls; big
-    # pools and large patches go to the kernel.
-    if _use_stamp_kernel() and (P >= 12 or (P >= 6 and K * P >= 96)):
+    P = pbank.shape[-1]
+    if _stamp_kernel_ok(P, K):
         from . import stamp_kernel
 
-        # (the kernel's aligned row window must fit inside the frame)
-        if stamp_kernel._win(P) <= OBS:
-            scale = jnp.ones((N, K), jnp.float32)
-            if alives is not None:
-                scale = scale * alives.astype(jnp.float32)
-            if alpha is not None:
-                scale = scale * jnp.asarray(alpha, jnp.float32)
-            return stamp_kernel.stamps_tpu(
-                prem_bank, var_idx, scale, r0, c0, OBS
-            )
-    # Variant select as a one-hot matmul: `pbank[var_idx]` lowers to a
-    # TPU dynamic-gather (profiled at 4.5 ms/step for coinrun at batch
-    # 4096 — dominated by data formatting); the MXU contraction over the
-    # small V axis is ~free.
+        return stamp_kernel.stamps_tpu(
+            prem_bank, var_idx, _stamp_scale(N, K, alives, alpha),
+            r0, c0, OBS,
+        )
+    return _stamps_matmul(prem_bank, var_idx, r0, c0, alives, alpha)
+
+
+def _stamps_matmul(prem_bank, var_idx, r0, c0, alives=None, alpha=None):
+    """Matmul formulation of the stamp group: one-hot variant select
+    (`pbank[var_idx]` lowers to a TPU dynamic-gather, profiled at
+    4.5 ms/step for coinrun at batch 4096) + the place_stamps one-hot
+    placement pair. Returns premultiplied (rgbp, a) sums."""
+    N, K = var_idx.shape
+    V = prem_bank.shape[0]
+    P = prem_bank.shape[-1]
     ohvar = (var_idx[..., None] == jnp.arange(V)).astype(jnp.bfloat16)
     if alives is not None:
         ohvar = ohvar * alives[..., None].astype(jnp.bfloat16)
@@ -542,13 +595,12 @@ def draw_background_batch(bgs_p, bg_index, wx_b, wy_b,
     in_v = (v >= 0) & (v < 1)
     ohu = _onehot(jnp.clip((u * W).astype(jnp.int32), 0, W - 1), W, in_u)
     ohv = _onehot(jnp.clip((v * H).astype(jnp.int32), 0, H - 1), H, in_v)
-    # background select as a one-hot matmul (dynamic-gather is the slow
-    # TPU path; B is small so the contraction is ~free)
-    ohb = (bg_index[:, None] == jnp.arange(B)).astype(jnp.bfloat16)
-    tex = (
-        ohb @ jnp.moveaxis(bgs_p, 1, 0).reshape(B, 3 * H * W)
-        .astype(jnp.bfloat16)
-    ).reshape(-1, 3, H, W)  # [N, 3, H, W]
+    # background select as a whole-texture row gather: each row is one
+    # contiguous 3*H*W texture, which the TPU gathers efficiently —
+    # measured 1.75 ms vs 2.54 ms for the one-hot select matmul at
+    # batch 4096 (the generic advice that dynamic-gather is the slow
+    # path applies to small/elementwise gathers, not 12 KB rows)
+    tex = jnp.moveaxis(bgs_p, 1, 0)[bg_index].astype(jnp.bfloat16)
     t1 = jnp.einsum("nrh,nchw->ncrw", ohv, tex,
                     preferred_element_type=jnp.bfloat16)
     rgb = jnp.einsum("ncrw,nuw->ncru", t1, ohu,

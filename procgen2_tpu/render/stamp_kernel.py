@@ -101,6 +101,109 @@ def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
         jax.lax.fori_loop(0, K, body, 0)
 
 
+def _kernel_blend(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, img_ref,
+                  out_ref, *, E, K, P, OBS):
+    """Ordered-compositing variant: the frame block rides along and each
+    stamp alpha-blends OVER it in slot order (the painter's algorithm,
+    renderer.cpp:5-101) instead of summing into a zeroed accumulator.
+    One img-in + img-out round trip replaces the separate full-frame
+    blend pass (which re-read the kernel output AND the frame)."""
+    W = _win(P)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+
+    V = bank_ref.shape[0]
+    for e in range(E):
+        out_ref[e] = img_ref[e]
+
+        def body(k, _):
+            s = scale_ref[e, k]
+            v = var_ref[e, k]
+
+            @pl.when((s != 0.0) & (v >= 0) & (v < V))
+            def _():
+                rc = jnp.clip(r0_ref[e, k], -P, OBS)
+                cc = jnp.clip(c0_ref[e, k], -P, OBS)
+                base = jnp.clip((rc // 8) * 8, 0, OBS - W)
+                off = rc - base
+                patch = bank_ref[v] * s.astype(jnp.bfloat16)
+                buf = jnp.pad(
+                    patch, ((0, 0), (0, W - P), (0, LANES - P))
+                ).astype(jnp.float32)
+                cc_roll = jnp.where(cc < 0, cc + LANES, cc)
+                off_roll = jnp.where(off < 0, off + W, off)
+                buf = pltpu.roll(buf, cc_roll, axis=2)
+                buf = pltpu.roll(buf, off_roll, axis=1)
+                mask = (
+                    (lane >= cc) & (lane < cc + P) & (lane < OBS)
+                    & (rowi >= off) & (rowi < off + P)
+                )
+                contrib = jnp.where(
+                    mask, buf.astype(jnp.bfloat16), jnp.bfloat16(0)
+                )[:, :, :OBS]
+                rows = pl.ds(pl.multiple_of(base, 8), W)
+                w = out_ref[e, :, rows, :]
+                a = contrib[3:4]
+                out_ref[e, :, rows, :] = (
+                    w * (jnp.bfloat16(1.0) - a) + contrib[:3]
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("obs", "interpret"))
+def _composite(bank, var_idx, scale, r0, c0, img, obs, interpret=False):
+    N, K = var_idx.shape
+    V = bank.shape[0]
+    P = bank.shape[-1]
+    E = next(e for e in (8, 4, 2, 1) if N % e == 0)
+    grid = (N // E,)
+    smem = functools.partial(
+        pl.BlockSpec, (E, K), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_blend, E=E, K=K, P=P, OBS=obs),
+        grid=grid,
+        in_specs=[
+            smem(),
+            smem(),
+            smem(),
+            smem(),
+            pl.BlockSpec((V, 4, P, P), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 3, obs, obs), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((E, 3, obs, obs), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 3, obs, obs), jnp.bfloat16),
+        interpret=interpret,
+    )(var_idx, scale, r0, c0, bank, img)
+
+
+def composite_tpu(img, prem_bank, var_idx, scale, r0, c0, obs,
+                  interpret=False):
+    """Alpha-blend K stamps/env OVER `img` in slot (painter) order.
+
+    img:       bf16 [N, 3, obs, obs] working frame
+    prem_bank: bf16 [V, 4, P, P] premultiplied (rgb * a, a in [0, 1])
+    var_idx / scale / r0 / c0 as in stamps_tpu.
+    Returns the composited bf16 [N, 3, obs, obs] frame.
+    """
+    return _composite(
+        jnp.asarray(prem_bank, jnp.bfloat16),
+        var_idx.astype(jnp.int32),
+        scale.astype(jnp.float32),
+        r0.astype(jnp.int32),
+        c0.astype(jnp.int32),
+        img.astype(jnp.bfloat16),
+        obs,
+        interpret,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("obs", "interpret"))
 def _stamps(bank, var_idx, scale, r0, c0, obs, interpret=False):
     N, K = var_idx.shape
@@ -139,6 +242,10 @@ def stamps_tpu(prem_bank, var_idx, scale, r0, c0, obs, interpret=False):
     r0, c0:    i32 [N, K] top-left obs pixel
     Returns (rgbp [N, 3, obs, obs], a [N, 1, obs, obs]) bf16 sums.
     """
+    # (A dual-lane variant packing channel pairs side by side in the
+    # 128-lane tile was tried and measured SLOWER on v5e — the packed-
+    # buffer assembly outweighed the halved roll work: 5.1 -> 6.6 ms at
+    # K=25/P=8/20% live, 11.8 -> 15.4 ms at K=64. See PERF.md round 4.)
     out = _stamps(
         jnp.asarray(prem_bank, jnp.bfloat16),
         var_idx.astype(jnp.int32),

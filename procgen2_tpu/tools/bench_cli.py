@@ -94,13 +94,41 @@ def main(argv=None):
         help="emit a jax.profiler trace of the timed loop under DIR "
              "(view with tensorboard/xprof)",
     )
+    parser.add_argument(
+        "--out", metavar="FILE", default=None,
+        help="also write the results as one JSON document (a machine-"
+             "readable per-game record: steps/s, batch, date, commit)",
+    )
     args = parser.parse_args(argv)
 
     games = [args.game] if args.game else list(GAMES)
+    results = []
     for g in games:
         r = bench_game(g, num_envs=args.num_envs, num_levels=args.num_levels,
                        iters=args.iters, profile_dir=args.profile)
         print(json.dumps(r))
+        results.append(r)
+    if args.out:
+        import datetime
+        import subprocess
+
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd="/root/repo",
+            ).stdout.strip()
+        except OSError:
+            commit = "unknown"
+        doc = dict(
+            date=datetime.date.today().isoformat(),
+            commit=commit,
+            hardware="TPU v5e (1 chip)",
+            obs="rendered 64x64 uint8 HWC, materialized to HBM",
+            games=results,
+        )
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":

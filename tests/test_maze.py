@@ -174,6 +174,8 @@ def test_fast_path_matches_reference_renderer(mode):
         a = jax.random.randint(jax.random.key(100 + i), (8,), 0, 15)
         state, _ = env.step(bank, state, a)
     ref = jax.vmap(maze.observe, in_axes=(None, 0))(env.cfg, state.game)
-    fast = maze.observe_batch(env.cfg, state.game)
+    # observe_batch returns planar [N, 3, H, W] (core/env.py applies
+    # the layout); move channels last to compare with observe
+    fast = jnp.moveaxis(maze.observe_batch(env.cfg, state.game), 1, -1)
     diff = np.abs(np.asarray(ref, np.int32) - np.asarray(fast, np.int32))
     assert diff.max() <= 1

@@ -84,3 +84,44 @@ def test_kernel_skips_out_of_range_variants():
     rgb_m, a_m = _ref_place(bank, var, scale, r0, c0)
     np.testing.assert_array_equal(np.float32(rgb_k), np.float32(rgb_m))
     np.testing.assert_array_equal(np.float32(a_k), np.float32(a_m))
+
+
+def _ref_composite(img, prem_bank, var_idx, scale, r0, c0):
+    """Sequential painter-order reference for the blend kernel: place
+    each stamp alone (via the matmul path) and alpha-blend over img in
+    slot order."""
+    N, K = var_idx.shape
+    out = img.astype(jnp.bfloat16)
+    for k in range(K):
+        rgbp, a = _ref_place(
+            prem_bank, var_idx[:, k:k + 1], scale[:, k:k + 1],
+            r0[:, k:k + 1], c0[:, k:k + 1],
+        )
+        out = out * (1.0 - a) + rgbp
+    return out
+
+
+@pytest.mark.parametrize("P", [8, 12, 28])
+def test_composite_kernel_matches_painter_order(P):
+    from procgen2_tpu.render.stamp_kernel import composite_tpu
+
+    key = jax.random.PRNGKey(31 + P)
+    N, K, V = 8, 4, 3
+    ks = jax.random.split(key, 7)
+    bank = jax.random.uniform(ks[0], (V, 4, P, P), minval=0.1, maxval=0.9)
+    bank = bank.at[:, :3].mul(200.0).astype(jnp.bfloat16)
+    var = jax.random.randint(ks[1], (N, K), 0, V)
+    scale = jnp.where(jax.random.uniform(ks[2], (N, K)) < 0.25, 0.0, 1.0)
+    r0 = jax.random.randint(ks[3], (N, K), -P, compositor.OBS + 2)
+    c0 = jax.random.randint(ks[4], (N, K), -P, compositor.OBS + 2)
+    # force overlaps so painter ORDER is actually exercised
+    r0 = r0.at[:, 1].set(r0[:, 0] + 2)
+    c0 = c0.at[:, 1].set(c0[:, 0] + 2)
+    img = (jax.random.uniform(ks[5], (N, 3, 64, 64)) * 255).astype(
+        jnp.bfloat16)
+
+    got = composite_tpu(img, bank, var, scale, r0, c0, compositor.OBS,
+                        interpret=True)
+    want = _ref_composite(img, bank, var, scale, r0, c0)
+    np.testing.assert_allclose(
+        np.float32(got), np.float32(want), atol=4.0, rtol=0.02)
