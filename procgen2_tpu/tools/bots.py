@@ -612,20 +612,36 @@ class _ChaserSim:
         else:
             self.input_timer = f32(self.input_timer + self.DT)
 
-    def _collect(self) -> Tuple[int, int]:
-        ax, ay = self.pos
-        centers = np.arange(self.D, dtype=f32) + f32(0.5)
-        hit = (
-            self.pellets
-            & (np.abs(ax - centers) < f32(0.8))[None, :]
-            & (np.abs(ay - centers) < f32(0.8))[:, None]
+    @staticmethod
+    def _overlap(ax, ay, aw, ah, bx, by, bw, bh) -> bool:
+        """check_collision's exact f32 expression (helpers.cpp:40-46);
+        the algebraically-equal |center delta| form rounds differently
+        at boundary events and shifts the collection sub-step (caught
+        by executing the compiled reference engine)."""
+        return bool(
+            (ax < f32(bx + bw)) and (f32(ax + aw) > bx)
+            and (ay < f32(by + bh)) and (f32(ay + ah) > by)
         )
-        delta = int(hit.sum())
-        self.pellets &= ~hit
+
+    def _collect(self) -> Tuple[int, int]:
+        ax = f32(self.pos[0] - f32(0.5))
+        ay = f32(self.pos[1] - f32(0.5))
+        delta = 0
+        for r in range(self.D):
+            for c in range(self.D):
+                if self.pellets[r, c] and self._overlap(
+                    ax, ay, f32(1.0), f32(1.0),
+                    f32(f32(c + 0.5) - f32(0.3)), f32(f32(r + 0.5) - f32(0.3)),
+                    f32(0.6), f32(0.6),
+                ):
+                    self.pellets[r, c] = False
+                    delta += 1
         for s in range(self.orb_live.shape[0]):
-            if self.orb_live[s] \
-                    and abs(f32(ax - self.orb_pos[s, 0])) < f32(1.0) \
-                    and abs(f32(ay - self.orb_pos[s, 1])) < f32(1.0):
+            if self.orb_live[s] and self._overlap(
+                ax, ay, f32(1.0), f32(1.0),
+                f32(self.orb_pos[s, 0] - f32(0.5)),
+                f32(self.orb_pos[s, 1] - f32(0.5)), f32(1.0), f32(1.0),
+            ):
                 self.orb_live[s] = False
                 delta += 1
         available = int(self.pellets.sum()) + int(self.orb_live.sum())
