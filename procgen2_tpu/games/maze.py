@@ -255,8 +255,7 @@ def observe_batch(cfg: Config, states: State):
                5 mouse-on-cheese, 6 mouse(flip)-on-cheese
     """
     if cfg.agent_centered:  # memory mode: camera follows the agent
-        hwc = jax.vmap(lambda s: observe(cfg, s))(states)
-        return jnp.moveaxis(hwc, -1, 1)  # planar contract (core/env.py)
+        return _observe_batch_memory(cfg, states)
 
     atlas, idx, bgs, _lut = _assets()
     atlas_j = jnp.asarray(atlas)
@@ -349,6 +348,113 @@ def observe_batch(cfg: Config, states: State):
     img = blend(img, (Gi == 4) | (Gi == 6), mouse_flip)
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
     return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment
+
+
+def _observe_batch_memory(cfg: Config, states: State):
+    """Batched memory-mode renderer (agent-centered camera).
+
+    The agent only ever sits on cell centers (one cell per step,
+    common_systems.cpp:69-101), so the camera position is always
+    half-integer and the pixel->texel FRACTIONAL pattern is identical
+    across envs — per-env cameras differ only by an INTEGER tile shift.
+    The expensive pieces of the fixed-camera path therefore stay
+    shared (intra-cell texel one-hots and the sampled wall / cheese /
+    mouse kind images); the per-env work is the augmented kind grid,
+    a shifted tile one-hot pair for the G field, and the scrolling
+    background (the PERF.md roadmap's "quantized camera-relative
+    shared sampling", exact here because the quantum is a whole cell).
+    First frame after reset uses the map center (maze.cpp:436-437),
+    also half-integer (wd = 31).
+    """
+    atlas, idx, bgs, _lut = _assets()
+    atlas_j = jnp.asarray(atlas)
+    wd = cfg.world_dim
+    ppu = C.OBS / cfg.visibility
+    center = jnp.float32(wd / 2.0)
+    N = states.pos.shape[0]
+
+    cam_x = jnp.where(states.t > 0, states.pos[:, 0], center)
+    cam_y = jnp.where(states.t > 0, states.pos[:, 1], center)
+    kx = jnp.round(cam_x - 0.5).astype(jnp.int32)  # camera cell
+    ky = jnp.round(cam_y - 0.5).astype(jnp.int32)
+
+    # Shared fractional machinery: trace the pattern with the camera at
+    # cell 0 (world 0.5); every env's maps are this plus an integer.
+    wx0, wy0 = C.camera_coords(ppu, jnp.float32(0.5), jnp.float32(0.5))
+    sx = jnp.floor(wx0).astype(jnp.int32)  # [64] shared tile offsets
+    sy = jnp.floor(wy0).astype(jnp.int32)
+    u = jnp.clip(((wx0 - sx) * C.S).astype(jnp.int32), 0, C.S - 1)
+    v = jnp.clip(((wy0 - sy) * C.S).astype(jnp.int32), 0, C.S - 1)
+    ohu_t = C._onehot(u, C.S)
+    ohv_t = C._onehot(v, C.S)
+    cu = ((wx0 - sx) - 0.02) / 0.95  # cheese rect (tilemap.cpp:95)
+    cv = (wy0 - sy) / 0.95
+    ohu_c = C._onehot(jnp.clip((cu * C.S).astype(jnp.int32), 0, C.S - 1),
+                      C.S, (cu >= 0) & (cu < 1))
+    ohv_c = C._onehot(jnp.clip((cv * C.S).astype(jnp.int32), 0, C.S - 1),
+                      C.S, (cv >= 0) & (cv < 1))
+
+    wall_img = C._sep_sample(atlas_j[:, idx["maze_wall"]], ohv_t, ohu_t)
+    cheese_img = C._sep_sample(atlas_j[:, idx["cheese"]], ohv_c, ohu_c)
+    mouse_img = C._sep_sample(atlas_j[:, idx["mouse"]], ohv_t, ohu_t)
+    mouse_flip = C._sep_sample(atlas_j[:, idx["mouse"]], ohv_t, ohu_t[:, ::-1])
+
+    # per-env augmented kind grid (same kinds as the fixed-camera path)
+    def aug_one(grid, goal_pos, pos, flip):
+        gx = goal_pos[0].astype(jnp.int32)
+        gy = goal_pos[1].astype(jnp.int32)
+        mx = pos[0].astype(jnp.int32)
+        my = pos[1].astype(jnp.int32)
+        on_cheese = (mx == gx) & (my == gy)
+        mval = jnp.where(on_cheese,
+                         jnp.where(flip, 6, 5),
+                         jnp.where(flip, 4, 3)).astype(jnp.int8)
+        g = grid.at[gy, gx].set(jnp.int8(2))
+        return g.at[my, mx].set(mval)
+
+    aug = jax.vmap(aug_one)(
+        states.level.grid, states.level.goal_pos, states.pos,
+        states.face_forward,
+    )
+
+    # shifted tile one-hots: tile index = camera cell + shared offset
+    tX = kx[:, None] + sx[None, :]  # [N, 64]
+    tY = ky[:, None] + sy[None, :]
+    in_x = (tX >= 0) & (tX < wd)
+    in_y = (tY >= 0) & (tY < wd)
+    ohx = (jnp.clip(tX, 0, wd - 1)[..., None]
+           == jnp.arange(wd)).astype(jnp.bfloat16)
+    ohy = (jnp.clip(tY, 0, wd - 1)[..., None]
+           == jnp.arange(wd)).astype(jnp.bfloat16)
+    G = jnp.einsum("nrh,nhw->nrw", ohy, aug.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)
+    G = jnp.einsum("nrw,nuw->nru", G, ohx,
+                   preferred_element_type=jnp.bfloat16)
+    inb = in_y[:, :, None] & in_x[:, None, :]
+    Gi = jnp.where(inb, jnp.round(G), jnp.float32(WALL)).astype(jnp.int8)
+    Gi = Gi[:, None]  # [N, 1, 64, 64]
+
+    # scrolling background (origin 0, 64 units — maze.cpp:403-408)
+    c = jnp.arange(C.OBS, dtype=jnp.float32) + 0.5 - C.OBS / 2
+    wx_b = cam_x[:, None] + c[None, :] / ppu
+    wy_b = cam_y[:, None] + c[None, :] / ppu
+    img = C.draw_background_batch(
+        jnp.asarray(bgs), states.level.bg_index.astype(jnp.int32),
+        wx_b, wy_b,
+    )
+
+    inv = jnp.bfloat16(1 / 255.0)
+
+    def blend(img, mask, kimg):
+        a = mask.astype(jnp.bfloat16) * (kimg[3][None, None] * inv)
+        return img + a * (kimg[:3][None] - img)
+
+    img = blend(img, Gi == 1, wall_img)
+    img = blend(img, (Gi == 2) | (Gi >= 5), cheese_img)
+    img = blend(img, (Gi == 3) | (Gi == 5), mouse_img)
+    img = blend(img, (Gi == 4) | (Gi == 6), mouse_flip)
+    obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    return obs  # planar u8 [N, 3, OBS, OBS]
 
 
 def obs_space(cfg: Config):

@@ -179,3 +179,21 @@ def test_fast_path_matches_reference_renderer(mode):
     fast = jnp.moveaxis(maze.observe_batch(env.cfg, state.game), 1, -1)
     diff = np.abs(np.asarray(ref, np.int32) - np.asarray(fast, np.int32))
     assert diff.max() <= 1
+
+
+def test_memory_mode_observe_batch_matches_vmapped_observe():
+    """Memory mode's shared-pattern fast path (integer-shift cameras)
+    vs the per-env slow path: identical frames up to bf16 blend noise."""
+    import procgen2_tpu as pg
+    from procgen2_tpu.games import maze
+
+    env = pg.make("maze", mode="memory")
+    bank = env.generate_bank(jax.random.key(3), num_levels=8)
+    state, _ = env.reset(bank, jax.random.key(4), num_envs=8)
+    for i in range(6):  # move off the first-frame centered camera
+        a = jax.random.randint(jax.random.key(50 + i), (8,), 0, 15)
+        state, _ = env.step(bank, state, a)
+    ref = jax.vmap(maze.observe, in_axes=(None, 0))(env.cfg, state.game)
+    fast = jnp.moveaxis(maze.observe_batch(env.cfg, state.game), 1, -1)
+    diff = np.abs(np.asarray(ref, np.int32) - np.asarray(fast, np.int32))
+    assert diff.max() <= 1, f"max pixel diff {diff.max()}"
