@@ -693,12 +693,17 @@ def observe_batch(cfg: Config, states: State):
     wx_b = cam_x[:, None] + c[None, :] / PPU
     wy_b = cam_y[:, None] + c[None, :] / PPU
 
-    img = C.draw_background_batch(
-        jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32), wx_b, wy_b
-    )
-
     # ---- tile stack: main grid (themed walls + lava) and crate layer ----
     ohy, ohx, ohv, ohu, inb = C.tile_onehots(wx_b, wy_b, WORLD, WORLD)
+
+    # Background: one bg texel per world tile (64 units / 64 texels), so
+    # it samples through the SAME one-hots as the tile field — see
+    # compositor.draw_background_field. The world grid is 64x64, so the
+    # tile one-hots cover the full bg index range.
+    img = C.draw_background_field(
+        jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32),
+        ohy, ohx, inb,
+    )
 
     def field(grids, oob):
         G = jnp.einsum("nrh,nhw->nrw", ohy, grids.astype(jnp.bfloat16),
@@ -736,6 +741,10 @@ def observe_batch(cfg: Config, states: State):
     # every per-kind slice before its second-stage dot (0.45 ms x 7
     # kinds); producing each kind's rows immediately before its dot
     # lets XLA assign agreeing layouts.
+    # (Producing rows in the first stage's natural "nrcw" order to kill
+    # the batch-minor relayout copies was tried on chip and measured
+    # WORSE overall — 168.6k -> 147.4k steps/s — XLA's layout choice for
+    # the "nrcw,nuw" second-stage dot costs more than the copies saved.)
     def blend_kind(img, mask, tex_k):
         if tex_k.ndim == 4:  # [N, 4, S, S] per-env themed texture
             rows_k = jnp.einsum("nrh,nchw->ncrw", ohv,

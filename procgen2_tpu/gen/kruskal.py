@@ -51,9 +51,15 @@ def _wall_list(max_dim: int):
     )
 
 
-FIND_DEPTH = 16  # > log2(45^2): union-by-rank bounds tree height by the
-#                  rank, so a fixed-depth chase always reaches the root —
-#                  compiles far better than a data-dependent while_loop.
+FIND_DEPTH = 12  # union-by-rank bounds tree height by the rank, and the
+#                  rank only bumps on equal-rank unions: height <=
+#                  log2(#nodes). The largest possible set joins every
+#                  room + wall-center cell (~1541 at max_dim 45) ->
+#                  height <= 10; 12 keeps margin. A fixed-depth chase
+#                  always reaches the root and compiles far better than
+#                  a data-dependent while_loop; the two chases dominate
+#                  the loop's batched-gather work, so depth is kept
+#                  tight (was 16).
 
 
 def _find(parent, c):

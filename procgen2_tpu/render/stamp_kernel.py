@@ -45,6 +45,20 @@ def _win(P):
     return ((P + 7) // 8 + 1) * 8
 
 
+def _pad_bank(prem_bank, P):
+    """Pre-pad the premultiplied bank to the kernel's roll layout
+    [V, 4, W, LANES] in f32 (a trace-time constant): the per-stamp pad
+    copy and the bf16->f32 convert (Mosaic's rotate requires 32-bit
+    data) then disappear from the kernel's inner loop, and the alive *
+    alpha scale folds into the masked select instead of a separate
+    pre-multiply pass."""
+    W = _win(P)
+    return jnp.pad(
+        prem_bank.astype(jnp.float32),
+        ((0, 0), (0, 0), (0, W - P), (0, LANES - P)),
+    )
+
+
 def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
             *, E, K, P, OBS):
     W = _win(P)
@@ -71,17 +85,13 @@ def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
                 # drops the off-frame rows, wrapped by the roll).
                 base = jnp.clip((rc // 8) * 8, 0, OBS - W)
                 off = rc - base
-                patch = bank_ref[v] * s.astype(jnp.bfloat16)
-                buf = jnp.pad(
-                    patch, ((0, 0), (0, W - P), (0, LANES - P))
-                ).astype(jnp.float32)
-                # Mosaic's rotate requires 32-bit data; the converts
-                # are register-local. Dynamic rotate amounts must be
-                # non-negative (tpu.dynamic_rotate is unsigned-modulo
-                # only for power-of-two sizes, and W is 24/40/48 for
-                # several patch sizes), so wrap edge-crossing stamps'
-                # negative shifts by the axis length before rolling;
-                # the masks below still use the raw cc/off values.
+                buf = bank_ref[v]  # [4, W, LANES] f32, pre-padded
+                # Dynamic rotate amounts must be non-negative
+                # (tpu.dynamic_rotate is unsigned-modulo only for
+                # power-of-two sizes, and W is 24/40/48 for several
+                # patch sizes), so wrap edge-crossing stamps' negative
+                # shifts by the axis length before rolling; the masks
+                # below still use the raw cc/off values.
                 cc_roll = jnp.where(cc < 0, cc + LANES, cc)
                 off_roll = jnp.where(off < 0, off + W, off)
                 buf = pltpu.roll(buf, cc_roll, axis=2)   # lanes -> column
@@ -91,7 +101,7 @@ def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
                     & (rowi >= off) & (rowi < off + P)
                 )
                 contrib = jnp.where(
-                    mask, buf.astype(jnp.bfloat16), jnp.bfloat16(0)
+                    mask, (buf * s).astype(jnp.bfloat16), jnp.bfloat16(0)
                 )[:, :, :OBS]
                 rows = pl.ds(pl.multiple_of(base, 8), W)
                 out_ref[e, :, rows, :] = out_ref[e, :, rows, :] + contrib
@@ -126,10 +136,7 @@ def _kernel_blend(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, img_ref,
                 cc = jnp.clip(c0_ref[e, k], -P, OBS)
                 base = jnp.clip((rc // 8) * 8, 0, OBS - W)
                 off = rc - base
-                patch = bank_ref[v] * s.astype(jnp.bfloat16)
-                buf = jnp.pad(
-                    patch, ((0, 0), (0, W - P), (0, LANES - P))
-                ).astype(jnp.float32)
+                buf = bank_ref[v]  # [4, W, LANES] f32, pre-padded
                 cc_roll = jnp.where(cc < 0, cc + LANES, cc)
                 off_roll = jnp.where(off < 0, off + W, off)
                 buf = pltpu.roll(buf, cc_roll, axis=2)
@@ -139,7 +146,7 @@ def _kernel_blend(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, img_ref,
                     & (rowi >= off) & (rowi < off + P)
                 )
                 contrib = jnp.where(
-                    mask, buf.astype(jnp.bfloat16), jnp.bfloat16(0)
+                    mask, (buf * s).astype(jnp.bfloat16), jnp.bfloat16(0)
                 )[:, :, :OBS]
                 rows = pl.ds(pl.multiple_of(base, 8), W)
                 w = out_ref[e, :, rows, :]
@@ -158,6 +165,7 @@ def _composite(bank, var_idx, scale, r0, c0, img, obs, interpret=False):
     N, K = var_idx.shape
     V = bank.shape[0]
     P = bank.shape[-1]
+    W = _win(P)
     E = next(e for e in (8, 4, 2, 1) if N % e == 0)
     grid = (N // E,)
     smem = functools.partial(
@@ -171,7 +179,7 @@ def _composite(bank, var_idx, scale, r0, c0, img, obs, interpret=False):
             smem(),
             smem(),
             smem(),
-            pl.BlockSpec((V, 4, P, P), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((V, 4, W, LANES), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((E, 3, obs, obs), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -180,7 +188,7 @@ def _composite(bank, var_idx, scale, r0, c0, img, obs, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, 3, obs, obs), jnp.bfloat16),
         interpret=interpret,
-    )(var_idx, scale, r0, c0, bank, img)
+    )(var_idx, scale, r0, c0, _pad_bank(bank, P), img)
 
 
 def composite_tpu(img, prem_bank, var_idx, scale, r0, c0, obs,
@@ -209,6 +217,7 @@ def _stamps(bank, var_idx, scale, r0, c0, obs, interpret=False):
     N, K = var_idx.shape
     V = bank.shape[0]
     P = bank.shape[-1]
+    W = _win(P)
     E = next(e for e in (8, 4, 2, 1) if N % e == 0)
     grid = (N // E,)
     smem = functools.partial(
@@ -222,14 +231,14 @@ def _stamps(bank, var_idx, scale, r0, c0, obs, interpret=False):
             smem(),
             smem(),
             smem(),
-            pl.BlockSpec((V, 4, P, P), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((V, 4, W, LANES), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((E, 4, obs, obs), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, 4, obs, obs), jnp.bfloat16),
         interpret=interpret,
-    )(var_idx, scale, r0, c0, bank)
+    )(var_idx, scale, r0, c0, _pad_bank(bank, P))
     return out
 
 
