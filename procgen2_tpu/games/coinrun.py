@@ -693,17 +693,15 @@ def observe_batch(cfg: Config, states: State):
     wx_b = cam_x[:, None] + c[None, :] / PPU
     wy_b = cam_y[:, None] + c[None, :] / PPU
 
+    # (Sampling the bg as a single-channel packed-int field through the
+    # tile one-hots was benched and reverted: the f32 HIGHEST-precision
+    # dots it needs cost ~6 bf16 MXU passes — 168.8k -> 157.2k steps/s.)
+    img = C.draw_background_batch(
+        jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32), wx_b, wy_b
+    )
+
     # ---- tile stack: main grid (themed walls + lava) and crate layer ----
     ohy, ohx, ohv, ohu, inb = C.tile_onehots(wx_b, wy_b, WORLD, WORLD)
-
-    # Background: one bg texel per world tile (64 units / 64 texels), so
-    # it samples through the SAME one-hots as the tile field — see
-    # compositor.draw_background_field. The world grid is 64x64, so the
-    # tile one-hots cover the full bg index range.
-    img = C.draw_background_field(
-        jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32),
-        ohy, ohx, inb,
-    )
 
     def field(grids, oob):
         G = jnp.einsum("nrh,nhw->nrw", ohy, grids.astype(jnp.bfloat16),

@@ -610,49 +610,6 @@ def draw_background_batch(bgs_p, bg_index, wx_b, wy_b,
     return basec * (1.0 - a) + rgb * a
 
 
-def draw_background_field(bgs_p, bg_index, ohy, ohx, inb,
-                          base=(0.0, 0.0, 0.0)):
-    """Scrolling background sampled as a PACKED tile-resolution field.
-
-    For the scrolling games the background spans 64 world units at
-    BG_SIZE=64 texels — one texel per world TILE — so the bg texel
-    under obs pixel (r, c) has exactly the tile indices the tilemap
-    pass already computed. Packing each texel's RGB into one f32
-    integer (r*65536 + g*256 + b < 2^24, exact in f32) turns the
-    per-env two-stage 3-channel sampling (the profile's 3.3 ms/step
-    batched-dot cost at batch 4096) into a single-channel field pair
-    like the tile-kind field; the one-hot rows have a single nonzero,
-    so the HIGHEST-precision dots reproduce the packed value exactly
-    and the unpack is fused elementwise arithmetic.
-
-    bgs_p: u8 [3, B, 64, 64]; ohy [N, OBS, H], ohx [N, OBS, W] with
-    H, W <= 64 the tile-grid dims (texels beyond the grid are
-    unreachable by construction: cameras keep wx/wy inside the world).
-    Returns bf16 [N, 3, OBS, OBS].
-    """
-    bgs_p = jnp.asarray(bgs_p)
-    H = ohy.shape[-1]
-    W = ohx.shape[-1]
-    packed = (
-        bgs_p[0].astype(jnp.float32) * 65536.0
-        + bgs_p[1].astype(jnp.float32) * 256.0
-        + bgs_p[2].astype(jnp.float32)
-    )  # [B, 64, 64], trace-time constant
-    sel = packed[bg_index][:, :H, :W]  # whole-texture row gather + crop
-    t = jnp.einsum("nrh,nhw->nrw", ohy.astype(jnp.float32), sel,
-                   precision=jax.lax.Precision.HIGHEST)
-    F = jnp.einsum("nrw,nuw->nru", t, ohx.astype(jnp.float32),
-                   precision=jax.lax.Precision.HIGHEST)
-    r = jnp.floor(F * (1.0 / 65536.0))
-    rem = F - r * 65536.0
-    g = jnp.floor(rem * (1.0 / 256.0))
-    b = rem - g * 256.0
-    rgb = jnp.stack([r, g, b], axis=1).astype(jnp.bfloat16)
-    basec = jnp.asarray(base, jnp.bfloat16).reshape(1, 3, 1, 1)
-    a = inb[:, None].astype(jnp.bfloat16)
-    return basec * (1.0 - a) + rgb * a
-
-
 def tile_onehots(wx_b, wy_b, H, W):
     """Per-env tile/texel one-hot selectors for a moving camera.
 
