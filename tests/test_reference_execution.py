@@ -181,10 +181,12 @@ def test_chaser_reference_binary_economy_parity(ref_libs):
     complete with the exact +10 all-clear; on the rest, every reward up
     to the enemy-death step matches exactly and death pays 0.0.
 
-    (Seeds 20/88 of the scripted pool are excluded: their reference
-    runs diverge mid-route before any enemy contact — under
-    investigation, likely empowered-eat interactions the predictor does
-    not model.)"""
+    (Seeds 20/88 of the scripted pool are excluded: on those runs the
+    reference SUPPRESSES the reward of 1-2 isolated pellets (its sum is
+    exactly 0.04/0.08 lower; the streams re-sync immediately after) —
+    i.e. those pickups landed on sub-steps 1-3 in the reference and
+    sub-step 4 here, a residual f32 boundary-parity slip at specific
+    pellets that op-for-op expression mirroring has not yet traced.)"""
     bank = reference_bank("chaser", CHASER_SEEDS)
     env = _ref_env(ref_libs / "ref_chaser.so", CHASER_SEEDS[0])
     for i, seed in enumerate(CHASER_SEEDS):
@@ -204,3 +206,43 @@ def test_chaser_reference_binary_economy_parity(ref_libs):
             # which itself pays 0.0 (chaser.cpp:296-312)
             assert rr[end] == f32(0.0), f"seed {seed}: death reward"
             assert np.array_equal(rr[:end], pr[:end]), f"seed {seed}"
+
+
+CLIMBER_FATAL_SEEDS = [1, 3, 4, 5, 7, 8, 9, 10, 14, 15, 17, 19]
+
+
+def test_climber_reference_binary_death_parity(ref_libs):
+    """Climber's step loop is RNG-free (deterministic patrol mobs), so
+    blind jump-right runs replay EXACTLY across engines: the compiled
+    reference dies on the same step with an identical reward stream as
+    the JAX engine (hard mode, the compile-time default). The
+    reference's stray debug printf (climber.cpp:357) spams REWARD0 to
+    stdout while it runs — left as-is, it is reference behavior."""
+    import jax.numpy as jnp
+    import procgen2_tpu as pg
+
+    bank_np = reference_bank("climber", CLIMBER_FATAL_SEEDS,
+                             easy_mode=False)
+    env = pg.make("climber", easy_mode=False)
+    bank = jax.tree.map(jnp.asarray, bank_np)
+    state = env.reset_pinned(
+        bank, jax.random.key(123),
+        jnp.asarray(CLIMBER_FATAL_SEEDS, jnp.uint32),
+    )
+    N = len(CLIMBER_FATAL_SEEDS)
+    R = np.zeros((150, N), f32)
+    D = np.zeros((150, N), bool)
+    for t in range(150):
+        state, ts = env.step_raw(
+            state, jnp.full((N,), JUMP_R, jnp.int32), render=False)
+        R[t] = np.asarray(ts.reward)
+        D[t] = np.asarray(ts.terminated)
+
+    renv = _ref_env(ref_libs / "ref_climber.so", CLIMBER_FATAL_SEEDS[0])
+    for i, seed in enumerate(CLIMBER_FATAL_SEEDS):
+        rr, end = _run_ref(renv, seed, [JUMP_R] * 150)
+        my_end = int(np.argmax(D[:, i]))
+        assert D[:, i].any() and end == my_end, (
+            f"seed {seed}: ref died at {end}, engine at {my_end}"
+        )
+        assert np.array_equal(rr, R[: len(rr), i]), f"seed {seed}"
