@@ -711,11 +711,17 @@ def observe_batch(cfg: Config, states: State):
         return jnp.where(inb, jnp.round(G),
                          jnp.float32(oob)).astype(jnp.int8)[:, None]
 
-    G = field(level.grid, WALL_MID)
-    crate_layer = jnp.where(
-        level.grid == CRATE, level.crate_variant, jnp.int8(-1)
+    # ONE packed field instead of separate tile-id and crate-variant
+    # fields (two one-hot dot pairs -> one): crate cells encode their
+    # variant as CRATE + 8*v (5/13/21/29 — distinct from ids 0..4 and
+    # bf16-exact; the one-hot rows have a single nonzero so the dot
+    # reproduces the packed value exactly).
+    packed = jnp.where(
+        level.grid == CRATE,
+        (CRATE + level.crate_variant.astype(jnp.int32) * 8).astype(jnp.int8),
+        level.grid,
     )
-    GC = field(crate_layer, -1)
+    G = field(packed, WALL_MID)
 
     atlas_s = jnp.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)  # [A, 4, S, S]
     tl = jnp.asarray(A["tile_lut"])  # [themes, ids]
@@ -762,7 +768,7 @@ def observe_batch(cfg: Config, states: State):
     img = blend_kind(img, G == LAVA_TOP, shared[0])
     img = blend_kind(img, G == LAVA_MID, shared[1])
     for v in range(4):
-        img = blend_kind(img, (G == CRATE) & (GC == v), shared[2 + v])
+        img = blend_kind(img, G == CRATE + v * 8, shared[2 + v])
 
     # ---- moving stamps: saws + coin + culled mobs ----
     def pix(centers, P):

@@ -14,11 +14,12 @@ Scope and exclusions (see docs/REFERENCE_EXECUTION.md):
   * per-game modes are the reference's COMPILE-TIME defaults
     (maze/jumper/caveflyer hard, chaser easy, climber/coinrun hard);
   * games whose step loop draws randomness (bossfight's boss AI,
-    chaser's enemies, caveflyer's enemies) can diverge where those
-    draws interact with the agent — chaser asserts bit-exact prefixes
-    up to the (reference-RNG-timed) enemy death, bossfight/caveflyer
-    are excluded and covered by the BossfightSim predictor / scripted
-    suites instead.
+    chaser's enemies) diverge where those draws interact with the
+    agent — chaser asserts bit-exact prefixes up to the
+    (reference-RNG-timed) enemy death; bossfight is excluded and
+    covered by the BossfightSim predictor instead. Caveflyer's pinned
+    scripts die on static hazards before enemies interfere, so it
+    replays exactly.
 
 The reference .so keeps process-global ECS state (re-running cenv_make
 in one process trips an assert), so each game gets ONE module-scoped
@@ -244,5 +245,46 @@ def test_climber_reference_binary_death_parity(ref_libs):
         my_end = int(np.argmax(D[:, i]))
         assert D[:, i].any() and end == my_end, (
             f"seed {seed}: ref died at {end}, engine at {my_end}"
+        )
+        assert np.array_equal(rr, R[: len(rr), i]), f"seed {seed}"
+
+
+CAVEFLYER_FATAL_SEEDS = [1, 3, 6, 7, 8, 10, 12, 13, 17, 18, 20, 21]
+
+
+def test_caveflyer_reference_binary_death_parity(ref_libs):
+    """Blind thrust+turn flights (rotational ship physics: f32 cos/sin
+    heading integration) replay EXACTLY in the compiled reference: same
+    meteor/target death step — or agreement that the flight survives
+    200 steps — with identical reward streams, 12/12 hard-mode seeds.
+    The pinned scripts die on STATIC hazards before the (divergent)
+    enemy RNG can interfere."""
+    import jax.numpy as jnp
+    import procgen2_tpu as pg
+
+    bank_np = reference_bank("caveflyer", CAVEFLYER_FATAL_SEEDS,
+                             mode="hard")
+    env = pg.make("caveflyer", mode="hard")
+    bank = jax.tree.map(jnp.asarray, bank_np)
+    state = env.reset_pinned(
+        bank, jax.random.key(123),
+        jnp.asarray(CAVEFLYER_FATAL_SEEDS, jnp.uint32),
+    )
+    N = len(CAVEFLYER_FATAL_SEEDS)
+    UP_RIGHT = 6
+    R = np.zeros((200, N), f32)
+    D = np.zeros((200, N), bool)
+    for t in range(200):
+        state, ts = env.step_raw(
+            state, jnp.full((N,), UP_RIGHT, jnp.int32), render=False)
+        R[t] = np.asarray(ts.reward)
+        D[t] = np.asarray(ts.terminated)
+
+    renv = _ref_env(ref_libs / "ref_caveflyer.so", CAVEFLYER_FATAL_SEEDS[0])
+    for i, seed in enumerate(CAVEFLYER_FATAL_SEEDS):
+        rr, end = _run_ref(renv, seed, [UP_RIGHT] * 200)
+        my_end = int(np.argmax(D[:, i])) if D[:, i].any() else None
+        assert end == my_end, (
+            f"seed {seed}: ref ended at {end}, engine at {my_end}"
         )
         assert np.array_equal(rr, R[: len(rr), i]), f"seed {seed}"
