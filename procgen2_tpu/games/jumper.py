@@ -329,22 +329,28 @@ def reset(cfg: Config, level: Level, key) -> State:
 # ---------------------------------------------------------------------------
 
 def _spike_hit(level, rx, ry):
-    """Agent world rect vs spike rects (-0.25,-0.25,0.5,0.5)+cell center,
-    over the 3x3 cell window (common_systems.cpp:149-162)."""
+    """Agent world rect vs spike rects (-0.25,-0.25,0.5,0.5)+cell center
+    (common_systems.cpp:149-162).
+
+    Expressed as separable overlap-interval masks contracted against
+    the spike grid — the same f32 comparison expressions
+    check_collision would evaluate per cell (the rect spans < 1 unit,
+    so only the 3x3 window can overlap; testing every cell with the
+    identical per-axis inequalities is exactly the reference's per-cell
+    loop). The previous traced-index 3x3 gather window cost 1.8 ms/step
+    at batch 4096 under vmap (36 batched scalar gathers per env step).
+    """
     D = level.spike_grid.shape[0]
-    cx = (rx + 0.25).astype(jnp.int32)  # rect center cell
-    cy = (ry + 0.4).astype(jnp.int32)
-    hit = jnp.bool_(False)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            tx = jnp.clip(cx + dx, 0, D - 1)
-            ty = jnp.clip(cy + dy, 0, D - 1)
-            h = level.spike_grid[ty, tx] & check_collision(
-                rx, ry, 0.5, 0.8,
-                tx + 0.25, ty + 0.25, 0.5, 0.5,
-            )
-            hit = hit | h
-    return hit
+    t = jnp.arange(D, dtype=jnp.float32)
+    bx = t + 0.25  # spike rect origins (cell + 0.25), f32-exact
+    ox = (rx < bx + 0.5) & (rx + 0.5 > bx)  # [D] check_collision x-axis
+    oy = (ry < bx + 0.5) & (ry + 0.8 > bx)  # [D] y-axis (same origins)
+    count = jnp.einsum(
+        "h,hw,w->", oy.astype(jnp.bfloat16),
+        level.spike_grid.astype(jnp.bfloat16), ox.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return count > 0.5
 
 
 def _agent_substep(level, pos, vel, on_ground, jumps_left, jump_timer,

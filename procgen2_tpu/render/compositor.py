@@ -472,8 +472,17 @@ def _stamp_kernel_ok(P, K):
     (~0.07/0.22/0.68 ms per slot at P=4/8/20) but picks up in-graph
     relayout copies. Small-K small-P groups (chaser's 6 sprites,
     jumper's single goal/bunny) stay on the matmuls; big pools and
-    large patches go to the kernel."""
-    if not (_use_stamp_kernel() and (P >= 12 or (P >= 6 and K * P >= 96))):
+    large patches go to the kernel — and so do tiny-patch SPARSE POOLS
+    (caveflyer's 32 x P=4 bullet ring): the matmul path pays ~0.07 ms
+    per SLOT even at P=4 while the kernel pays only per LIVE stamp, and
+    bullet rings are mostly dead (caveflyer 247k -> 279k steps/s).
+    Mostly-ALIVE small pools lose on the kernel (jumper's 10 x P=8
+    particle trail measured 234k -> 219k under a K >= 10 clause —
+    particles are continuously respawned, so the dead-slot skip never
+    pays); the P <= 6 bound keeps those on the matmuls."""
+    if not (_use_stamp_kernel()
+            and (P >= 12 or (P >= 6 and K * P >= 96)
+                 or (P <= 6 and K >= 16))):
         return False
     from . import stamp_kernel
 

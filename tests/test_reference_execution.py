@@ -288,3 +288,45 @@ def test_caveflyer_reference_binary_death_parity(ref_libs):
             f"seed {seed}: ref ended at {end}, engine at {my_end}"
         )
         assert np.array_equal(rr, R[: len(rr), i]), f"seed {seed}"
+
+
+PIXEL_SEEDS = [3, 5, 7, 11, 13]
+
+
+def test_maze_reference_binary_pixel_parity(ref_libs):
+    """REAL reference frames vs the rebuild's renders: the stub decodes
+    the actual asset PNGs (libpng) and rasterizes the reference's own
+    draw calls, so cenv's observation buffer carries genuine reference
+    pixels. With the PNG overlay installed on the rebuild side, frames
+    must agree within a nearest-sampling budget: the stub's blitter
+    floor-snaps rects like SDL's software renderer but sub-texel
+    sampling phases differ, which on noisy textures (sandCenter at
+    ~4.3 px/tile) perturbs individual texel picks, not structure.
+
+    Budget: mean |diff| < 6/255 per frame, < 8% of pixels off by > 16.
+    A layout/placement bug (wrong cell, missing sprite, shifted camera)
+    blows both numbers immediately."""
+    from procgen2_tpu.render import png_assets
+    import jax.numpy as jnp
+    import procgen2_tpu as pg
+
+    png_assets.install("/root/reference/assets")
+    try:
+        bank_np = reference_bank("maze", PIXEL_SEEDS, mode="hard")
+        env = pg.make("maze", mode="hard")
+        bank = jax.tree.map(jnp.asarray, bank_np)
+        state = env.reset_pinned(
+            bank, jax.random.key(123), jnp.asarray(PIXEL_SEEDS, jnp.uint32)
+        )
+        mine = np.asarray(env.observe(state))
+
+        renv = _ref_env(ref_libs / "ref_maze.so", PIXEL_SEEDS[0])
+        for i, seed in enumerate(PIXEL_SEEDS):
+            ref = renv.reset(seed=seed)
+            d = np.abs(ref.astype(np.int32) - mine[i].astype(np.int32))
+            assert d.mean() < 6.0, f"seed {seed}: mean|diff| {d.mean():.2f}"
+            assert (d > 16).mean() < 0.08, (
+                f"seed {seed}: {(d > 16).mean():.3f} of pixels off by >16"
+            )
+    finally:
+        png_assets.uninstall()
