@@ -811,8 +811,11 @@ def _stamp_banks():
         ),
         patch=8,
     )
-    return dict(bb=bb_bank, ab=ab_bank, bar=bar_bank, boss=boss_bank,
-                shield=shield_bank, dmg=dmg_bank, ship=ship_bank)
+    # barriers + boss bullets composite as one z-adjacent P=8 group
+    barbb_bank = np.concatenate([bar_bank, bb_bank], axis=0)
+    return dict(bb=bb_bank, ab=ab_bank, bar=bar_bank, barbb=barbb_bank,
+                boss=boss_bank, shield=shield_bank, dmg=dmg_bank,
+                ship=ship_bank)
 
 
 @functools.lru_cache(maxsize=None)
@@ -853,14 +856,13 @@ def observe_batch(cfg: Config, states: State):
             img, banks[group], var, r0, c0, alives=alives, alpha=alpha
         )
 
-    # barriers (bossfight.cpp:480: sprite offset -0.15, scale 0.3)
+    # barriers (bossfight.cpp:480: sprite offset -0.15, scale 0.3) and
+    # boss bullets / their explosions (rotation-quantized variants):
+    # adjacent in z-order and both P=8, so they share ONE kernel pass
+    # (slot order = painter order; each composite call costs an img
+    # round trip, so merging adjacent same-P groups is a direct save)
     blank = jnp.broadcast_to(level.barrier_tex.astype(jnp.int32), (N, 4)) \
         if level.barrier_tex.ndim == 1 else level.barrier_tex.astype(jnp.int32)
-    img = blend(img, "bar", blank,
-                level.barrier_pos[..., 0], level.barrier_pos[..., 1],
-                alives=level.barrier_exists)
-
-    # boss bullets / their explosions (rotation-quantized variants)
     bwin = jax.vmap(_window, in_axes=(0, 0, None))(
         states.bb_next, states.bb_num, NUM_B_BULLETS
     )
@@ -877,8 +879,17 @@ def observe_batch(cfg: Config, states: State):
         level.bullet_tex[:, None].astype(jnp.int32) * ROT_BINS + rbin,
         3 * ROT_BINS + eidx,
     )
-    img = blend(img, "bb", var, states.bb_pos[..., 0], states.bb_pos[..., 1],
-                alives=is_live | is_expl)
+    n_bar = banks["bar"].shape[0]
+    img = blend(
+        img, "barbb",
+        jnp.concatenate([blank, n_bar + var], axis=1),
+        jnp.concatenate(
+            [level.barrier_pos[..., 0], states.bb_pos[..., 0]], axis=1),
+        jnp.concatenate(
+            [level.barrier_pos[..., 1], states.bb_pos[..., 1]], axis=1),
+        alives=jnp.concatenate(
+            [level.barrier_exists, is_live | is_expl], axis=1),
+    )
 
     # boss ship + shield
     img = blend(img, "boss", level.boss_tex.astype(jnp.int32)[:, None],
