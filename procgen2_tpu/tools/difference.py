@@ -29,8 +29,16 @@ bound the pixel stats below and are NOT parity bugs):
 - Default art is procedural; install render/png_assets for the
   reference's PNG look (tests/golden locks those frames bit-exactly).
 
-Run:  python -m procgen2_tpu.tools.difference maze \\
-          --lib /path/to/build/games/maze/libMaze.so --steps 500
+Run (the headless reference builds in-repo — docs/REFERENCE_EXECUTION.md):
+
+    make -C native reference
+    python -m procgen2_tpu.tools.difference maze \\
+        --lib native/build/ref_maze.so --steps 500
+
+Since round 4 the stub renders REAL frames (libpng-decoded assets), so
+the pixel statistics are meaningful; the two engines still play
+DIFFERENT random levels in this harness (the distributional mode above)
+— per-seed aligned comparisons live in tests/test_reference_execution.py.
 """
 from __future__ import annotations
 
