@@ -330,3 +330,58 @@ def test_maze_reference_binary_pixel_parity(ref_libs):
             )
     finally:
         png_assets.uninstall()
+
+
+CLIMBER_ASCENT_SEEDS = [0, 11, 17, 19, 20]
+
+
+def test_climber_reference_binary_ascent_parity(ref_libs):
+    """Positive-reward cross-engine replay: ClimberBot ascents recorded
+    against the JAX engine (hard mode) replay in the compiled reference
+    with IDENTICAL reward streams — every mid-run +1 crystal and the
+    exact same-sub-step 11.0f completion (climber.cpp:348-350), totals
+    11-13 across the pinned seeds."""
+    import jax.numpy as jnp
+    import procgen2_tpu as pg
+    from procgen2_tpu.tools import bots as B
+
+    bank_np = reference_bank("climber", CLIMBER_ASCENT_SEEDS,
+                             easy_mode=False)
+    env = pg.make("climber", easy_mode=False)
+    bank = jax.tree.map(jnp.asarray, bank_np)
+    state = env.reset_pinned(
+        bank, jax.random.key(123),
+        jnp.asarray(CLIMBER_ASCENT_SEEDS, jnp.uint32),
+    )
+    N = len(CLIMBER_ASCENT_SEEDS)
+    levels = [_level_i(bank_np, i) for i in range(N)]
+    bs = [B.ClimberBot(l) for l in levels]
+    T = 600
+    R = np.zeros((T, N), f32)
+    D = np.zeros((T, N), bool)
+    A = np.full((T, N), B.NOOP, np.int32)
+    done = np.zeros(N, bool)
+    for t in range(T):
+        gs = state.game
+        pos, vel = np.asarray(gs.pos), np.asarray(gs.vel)
+        og, taken = np.asarray(gs.on_ground), np.asarray(gs.point_taken)
+        A[t] = [
+            bs[i].act(pos[i], vel[i], og[i], taken[i]) if not done[i]
+            else B.NOOP
+            for i in range(N)
+        ]
+        state, ts = env.step_raw(state, jnp.asarray(A[t]), render=False)
+        R[t] = np.asarray(ts.reward)
+        D[t] = np.asarray(ts.terminated)
+        done |= D[t]
+        if done.all():
+            break
+
+    renv = _ref_env(ref_libs / "ref_climber.so", CLIMBER_ASCENT_SEEDS[0])
+    for i, seed in enumerate(CLIMBER_ASCENT_SEEDS):
+        assert D[:, i].any(), f"seed {seed}: bot never finished"
+        end = int(np.argmax(D[:, i]))
+        assert R[end, i] == f32(11.0), f"seed {seed}: engine end reward"
+        rr, rend = _run_ref(renv, seed, A[: end + 1, i].tolist())
+        assert rend == end, f"seed {seed}: ref ended at {rend} != {end}"
+        assert np.array_equal(rr, R[: end + 1, i]), f"seed {seed}"
