@@ -25,7 +25,7 @@ common_systems.cpp:199-386) is re-derived in numpy.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
