@@ -39,6 +39,8 @@ from ..physics.tiles import (
 from ..physics.aabb import check_collision
 from ..render import atlas as atlas_lib
 from ..render import compositor as C
+from ..render import phases as phases_lib
+from ..render import scene_kernel
 
 NAME = "coinrun"
 NUM_ACTIONS = 15
@@ -93,6 +95,9 @@ class Config:
     allow_crate: bool = True
     allow_dy: bool = True
     allow_mobs: bool = True
+    # Render-only: camera phase quantization for the fused scene kernel
+    # (render/phases.py); 0 = exact continuous camera (slow path).
+    scene_phases: int = 4
 
 
 @struct.dataclass
@@ -682,6 +687,163 @@ def _cull(oh_none, cam_x, pos, alive, k):
 
 
 def observe_batch(cfg: Config, states: State):
+    """Dispatch: quantized-phase scene renderer at obs resolution (the
+    throughput path), exact per-env-camera renderer otherwise (window
+    resolution, or `scene_phases=0`)."""
+    if C.OBS == 64 and cfg.scene_phases > 0:
+        return _observe_scene(cfg, states)
+    return _observe_exact(cfg, states)
+
+
+@functools.lru_cache(maxsize=None)
+def _scene_assets(qp):
+    """Tile-entry phase bank + padded tile-resolution content textures
+    for the fused scene kernel (render/scene_kernel.py)."""
+    A = _assets()
+    atlas_s = np.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)  # [A, 4, S, S]
+    idx = A["idx"]
+    texs, kinds, themes = [], [], []
+    for t, th in enumerate(atlas_lib.WALL_THEMES):
+        texs += [atlas_s[idx[f"wall_top_{th}"]], atlas_s[idx[f"wall_mid_{th}"]]]
+        kinds += [WALL_TOP, WALL_MID]
+        themes += [t, t]
+    texs += [atlas_s[idx["lava_top"]], atlas_s[idx["lava_mid"]]]
+    kinds += [LAVA_TOP, LAVA_MID]
+    themes += [-1, -1]
+    for v, cname in enumerate(atlas_lib.CRATE_TYPES):
+        texs.append(atlas_s[np.asarray(A["crate_lut"])[v]])
+        # crate cells carry CRATE + 8*variant in the packed kind field
+        kinds.append(CRATE + v * 8)
+        themes.append(-1)
+    bank = phases_lib.tile_phase_bank(np.stack(texs), PPU, 64, qp)
+    # backgrounds cover 64 world units with 64 texels (atlas.BG_SIZE), so
+    # the bg texel under a pixel is exactly its tile coordinate — the bg
+    # is tile-resolution content, window-sliced and phase-expanded like
+    # the kind field. Zero padding = out-of-level black (maze.cpp:403-408
+    # clip semantics).
+    bgs = np.asarray(A["bgs_p"])  # [3, NB, 64, 64] u8
+    P = phases_lib.WIN
+    bgpad = np.zeros((NUM_BGS, 3, 64 + 2 * P, 64 + 2 * P), np.uint8)
+    bgpad[:, :, P:P + 64, P:P + 64] = bgs.transpose(1, 0, 2, 3)
+    EyTab, ExTab = phases_lib.expansion_tables(PPU, 64, qp)
+    return dict(bank=bank, kinds=tuple(kinds), themes=tuple(themes),
+                bgpad=bgpad, EyTab=EyTab, ExTab=ExTab)
+
+
+def _observe_scene(cfg: Config, states: State):
+    """Quantized-camera scene path: the render camera snaps to 1/QP world
+    units (<= PPU/(2*QP) = 0.6 obs px at QP=4 — render-only; physics is
+    untouched), collapsing tile/bg sampling into QP^2 shared phases so
+    the entire tile stack + background + stamps run in one Pallas kernel
+    pass over a VMEM phase bank (render/phases.py, scene_kernel.py)."""
+    A = _assets()
+    banks = _stamp_banks()
+    qp = cfg.scene_phases
+    SA = _scene_assets(qp)
+    level = states.level
+    N = states.pos.shape[0]
+    W = phases_lib.WIN
+
+    mx = jnp.round(states.pos[:, 0] * qp).astype(jnp.int32)
+    my = jnp.round((states.pos[:, 1] - 0.5) * qp).astype(jnp.int32)
+    cam_x = mx.astype(jnp.float32) / qp
+    cam_y = my.astype(jnp.float32) / qp
+    jx = jnp.mod(mx, qp)
+    jy = jnp.mod(my, qp)
+    _, _, t0_off = phases_lib.phase_tables(PPU, 64, qp)
+    tx0 = jnp.floor(cam_x + jnp.float32(t0_off)).astype(jnp.int32)
+    ty0 = jnp.floor(cam_y + jnp.float32(t0_off)).astype(jnp.int32)
+
+    # --- tile-resolution content windows: packed kind field + bg rgb ---
+    packed = jnp.where(
+        level.grid == CRATE,
+        (CRATE + level.crate_variant.astype(jnp.int32) * 8).astype(jnp.int8),
+        level.grid,
+    )
+    gridp = jnp.pad(packed, ((0, 0), (W, W), (W, W)),
+                    constant_values=WALL_MID)  # OOB is wall, tilemap.h:82-87
+    gwin = jax.vmap(
+        lambda g, y, x: jax.lax.dynamic_slice(g, (y + W, x + W), (W, W))
+    )(gridp, ty0, tx0)
+    bgpad = jnp.asarray(SA["bgpad"])
+    bgwin = jax.vmap(
+        lambda b, y, x: jax.lax.dynamic_slice(
+            bgpad, (b, 0, y + W, x + W), (1, 3, W, W))[0]
+    )(level.bg_index.astype(jnp.int32), ty0, tx0)
+    win = jnp.concatenate(
+        [gwin[:, None].astype(jnp.bfloat16), bgwin.astype(jnp.bfloat16)], 1
+    )  # [N, 4, W, W]
+
+    # --- phase expansion to pixel resolution (exact: 0/1 selectors) ---
+    Ey = jnp.asarray(SA["EyTab"], jnp.bfloat16)[jy]  # [N, 64, W]
+    Ex = jnp.asarray(SA["ExTab"], jnp.bfloat16)[jx]  # [N, W, 64]
+    rows = jnp.einsum("nri,ncij->ncrj", Ey, win,
+                      preferred_element_type=jnp.bfloat16)
+    X = jnp.einsum("ncrj,nju->ncru", rows, Ex,
+                   preferred_element_type=jnp.bfloat16)
+
+    # --- stamps (same culls as the exact path, quantized camera) ---
+    def pix(centers, P):
+        px = (centers[..., 0] - cam_x[:, None]) * PPU + C.OBS / 2
+        py = (centers[..., 1] - cam_y[:, None]) * PPU + C.OBS / 2
+        return (jnp.round(py - P / 2).astype(jnp.int32),
+                jnp.round(px - P / 2).astype(jnp.int32))
+
+    saw_frame = (states.t % 2).astype(jnp.int32)
+    mob_frame = ((states.t // 5) % 2).astype(jnp.int32)
+    saw_var_full = jnp.broadcast_to(
+        saw_frame[:, None], (N, MAX_SAWS)).astype(jnp.int32)
+    mob_var_full = (
+        3 + level.mob_variant.astype(jnp.int32) * 4
+        + mob_frame[:, None] * 2 + (states.mob_vx > 0.0)
+    )
+    all_pos = jnp.concatenate([level.saw_pos, states.mob_pos], axis=1)
+    all_alive = jnp.concatenate([level.saw_alive, level.mob_alive], axis=1)
+    all_var = jnp.concatenate([saw_var_full, mob_var_full], axis=1)
+    oh = _cull(None, cam_x, all_pos, all_alive, HAZARD_CULL)
+    hz_pos = jnp.einsum("nkm,nmc->nkc", oh, all_pos)
+    hz_alive = jnp.einsum(
+        "nkm,nm->nk", oh, all_alive.astype(jnp.bfloat16)) > 0.5
+    hz_var = jnp.round(jnp.einsum(
+        "nkm,nm->nk", oh, all_var.astype(jnp.bfloat16))).astype(jnp.int32)
+
+    coin_var = jnp.full((N, 1), 2, jnp.int32)
+    centers = jnp.concatenate([hz_pos, level.coin_pos[:, None, :]], axis=1)
+    vars_ = jnp.concatenate([hz_var, coin_var], axis=1)
+    scale = jnp.concatenate(
+        [hz_alive.astype(jnp.float32), jnp.ones((N, 1), jnp.float32)], axis=1)
+    r0, c0 = pix(centers, 8)
+
+    pose = jnp.where(
+        ~states.on_ground, 1,
+        jnp.where(jnp.abs(states.vel[:, 0]) < 0.01, 0,
+                  jnp.where(states.anim_t > 0.5, 3, 2)),
+    ).astype(jnp.int32)
+    avar = (level.agent_theme.astype(jnp.int32) * 8 + pose * 2
+            + (~states.face_forward).astype(jnp.int32))[:, None]
+    acenter = jnp.stack(
+        [states.pos[:, 0], states.pos[:, 1] - 1.0], axis=-1
+    )[:, None, :]
+    ar0, ac0 = pix(acenter, 12)
+
+    groups = [
+        (C._premultiply_bank(banks["moving"]), vars_, scale, r0, c0),
+        (C._premultiply_bank(banks["agent"]), avar,
+         jnp.ones((N, 1), jnp.float32), ar0, ac0),
+    ]
+    p_joint = jy * qp + jx
+    theme = level.theme.astype(jnp.int32)
+    tb = jnp.asarray(SA["bank"])
+    if C._use_stamp_kernel():
+        img = scene_kernel.scene_tpu(
+            X, p_joint, theme, tb, SA["kinds"], SA["themes"], groups, C.OBS)
+    else:
+        img = scene_kernel.scene_reference(
+            X, p_joint, theme, tb, SA["kinds"], SA["themes"], groups, C.OBS)
+    return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+
+
+def _observe_exact(cfg: Config, states: State):
     A = _assets()
     banks = _stamp_banks()
     level = states.level
