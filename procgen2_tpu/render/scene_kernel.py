@@ -79,6 +79,165 @@ def _blend_stamps_ref(out_ref, e, bank_ref, var_ref, scale_ref, r0_ref,
     jax.lax.fori_loop(0, K, body, 0)
 
 
+def _scene_kernel_raw(*refs, E, OBS, QP, PAD, entry_kind, entry_theme,
+                      group_ps):
+    """Window extraction + phase expansion fused into the kernel.
+
+    XLA-side window slicing (vmapped dynamic_slice over the padded grid
+    and bg textures) profiled 5.3 ms/step at batch 4096 — the lowered
+    per-env gather loop dominates. Here nothing is sliced: per env the
+    kernel builds absolute 0/1 selector matrices from an iota and the
+    per-phase tile-offset table (dest pixel r reads absolute padded row
+    ty0 + PAD + TR[jy][r]), and contracts them against the env's full
+    padded grid slab / the resident bg texture on the MXU. Unaligned
+    dynamic sublane slices (which Mosaic rejects) never appear, and the
+    96-deep contractions fill the MXU far better than WIN=16 dots.
+
+    refs: ty0, tx0, jy, jx, bg_i, theme [E,1] SMEM; per group
+    (var, scale, r0, c0) SMEM; grid_pad [E, GP, GP] i8, bg_bank
+    [NB, 3, GP, GP] bf16, tr_tab [QP, 1, OBS] i32, tile_bank, group
+    banks (VMEM); out [E, 3, OBS, OBS]."""
+    ng = len(group_ps)
+    (ty0_ref, tx0_ref, jy_ref, jx_ref, bgi_ref, theme_ref) = refs[:6]
+    g_smem = [refs[6 + 4 * g: 10 + 4 * g] for g in range(ng)]
+    k = 6 + 4 * ng
+    grid_ref, bgbank_ref, tr_ref, tb_ref = refs[k:k + 4]
+    g_banks = [refs[k + 4 + g] for g in range(ng)]
+    out_ref = refs[k + 4 + ng]
+
+    GP = grid_ref.shape[1]
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (GP, OBS), 0)
+
+    def contract(slab_bf16, eyT, exm):
+        t = jax.lax.dot_general(
+            slab_bf16, exm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [GP, OBS]
+        return jax.lax.dot_general(
+            eyT, t.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [OBS, OBS]
+
+    one = jnp.bfloat16(1.0)
+    for e in range(E):
+        ty = ty0_ref[e, 0] + PAD
+        tx = tx0_ref[e, 0] + PAD
+        jyv = jy_ref[e, 0]
+        jxv = jx_ref[e, 0]
+        ph = jyv * QP + jxv
+        th = theme_ref[e, 0]
+
+        tr = tr_ref[jyv]  # [1, OBS] i32 tile offsets for this phase
+        tc = tr_ref[jxv]
+        eyT = (iota0 == tr + ty).astype(jnp.bfloat16)  # [GP, OBS]
+        exm = (iota0 == tc + tx).astype(jnp.bfloat16)
+        G = contract(grid_ref[e].astype(jnp.bfloat16), eyT, exm)
+        bg = bgbank_ref[bgi_ref[e, 0]]  # [3, GP, GP] bf16
+        for ch in range(3):
+            out_ref[e, ch] = contract(bg[ch], eyT, exm).astype(jnp.bfloat16)
+
+        for i, (kv, tv) in enumerate(zip(entry_kind, entry_theme)):
+            def blend_entry(i=i, kv=kv):
+                t = tb_ref[ph, i]  # [4, OBS, OBS] bf16 premultiplied
+                m = G == jnp.float32(kv)
+                a = jnp.where(m, t[3:4], jnp.bfloat16(0))
+                rgbp = jnp.where(m, t[:3], jnp.bfloat16(0))
+                out_ref[e] = out_ref[e] * (one - a) + rgbp
+
+            if tv < 0:
+                blend_entry()
+            else:
+                pl.when(th == tv)(blend_entry)
+
+        for g in range(ng):
+            var_ref, scale_ref, r0_ref, c0_ref = g_smem[g]
+            _blend_stamps_ref(out_ref, e, g_banks[g], var_ref, scale_ref,
+                              r0_ref, c0_ref, group_ps[g], OBS)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("entry_kind", "entry_theme", "obs", "qp", "pad",
+                     "interpret"),
+)
+def _scene_raw(grid_pad, ty0, tx0, jy, jx, bg_i, theme, bg_bank, tr_tab,
+               tile_bank, entry_kind, entry_theme, groups, obs,
+               qp, pad, interpret=False):
+    N = grid_pad.shape[0]
+    GP = grid_pad.shape[1]
+    NB = bg_bank.shape[0]
+    NPH, NE = tile_bank.shape[:2]
+    E = next(e for e in (8, 4, 2, 1) if N % e == 0)
+    grid = (N // E,)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    svec = lambda: smem((E, 1), lambda i: (i, 0))  # noqa: E731
+    in_specs = [svec() for _ in range(6)]
+    args = [v.astype(jnp.int32)[:, None]
+            for v in (ty0, tx0, jy, jx, bg_i, theme)]
+    group_ps = []
+    bank_specs, bank_args = [], []
+    for bank, var, scale, r0, c0 in groups:
+        K = var.shape[1]
+        in_specs += [smem((E, K), lambda i: (i, 0))] * 4
+        args += [var.astype(jnp.int32), scale.astype(jnp.float32),
+                 r0.astype(jnp.int32), c0.astype(jnp.int32)]
+        P = bank.shape[-1]
+        group_ps.append(P)
+        V = bank.shape[0]
+        bank_specs.append(
+            pl.BlockSpec((V, 4, _win(P), LANES), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        bank_args.append(_pad_bank(jnp.asarray(bank, jnp.bfloat16), P))
+    in_specs += [
+        pl.BlockSpec((E, GP, GP), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NB, 3, GP, GP), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((qp, 1, obs), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NPH, NE, 4, obs, obs), lambda i: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + bank_specs
+    args += [grid_pad.astype(jnp.int8), bg_bank.astype(jnp.bfloat16),
+             tr_tab.astype(jnp.int32),
+             tile_bank.astype(jnp.bfloat16)] + bank_args
+    return pl.pallas_call(
+        functools.partial(
+            _scene_kernel_raw, E=E, OBS=obs, QP=qp, PAD=pad,
+            entry_kind=entry_kind, entry_theme=entry_theme,
+            group_ps=tuple(group_ps),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((E, 3, obs, obs), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 3, obs, obs), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+def scene_tpu_raw(grid_pad, ty0, tx0, jy, jx, bg_i, theme, bg_bank,
+                  tr_tab, tile_bank, entry_kind, entry_theme,
+                  groups, obs, qp, pad, interpret=False):
+    """Full scene from raw per-env inputs (window extraction + phase
+    expansion inside the kernel — see _scene_kernel_raw).
+
+    grid_pad: i8 [N, GP, GP] padded kind grid (GP = world + 2*pad,
+              pad value = the game's OOB tile).
+    ty0/tx0:  i32 [N] window-origin tile (un-padded coordinates).
+    jy/jx:    i32 [N] per-axis phase indices.
+    bg_i:     i32 [N] background texture index.
+    bg_bank:  [NB, 3, GP, GP] zero-padded tile-resolution backgrounds.
+    tr_tab:   i32 [qp, 1, obs] per-phase tile-offset table
+              (phases.phase_tables TR, shared by both axes).
+    Other args as scene_tpu."""
+    return _scene_raw(
+        grid_pad, ty0, tx0, jy, jx, bg_i, theme,
+        jnp.asarray(bg_bank), jnp.asarray(tr_tab),
+        jnp.asarray(tile_bank), tuple(entry_kind), tuple(entry_theme),
+        tuple(tuple(g) for g in groups), obs, qp, pad, interpret)
+
+
 def _scene_kernel(*refs, E, OBS, entry_kind, entry_theme, group_ps):
     """refs layout: p[E], theme[E], (var, scale, r0, c0) per group
     (SMEM); X [E, 4, OBS, OBS], tile_bank [NPH, NE, 4, OBS, OBS],

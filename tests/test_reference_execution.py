@@ -14,12 +14,13 @@ Scope and exclusions (see docs/REFERENCE_EXECUTION.md):
   * per-game modes are the reference's COMPILE-TIME defaults
     (maze/jumper/caveflyer hard, chaser easy, climber/coinrun hard);
   * games whose step loop draws randomness (bossfight's boss AI,
-    chaser's enemies) diverge where those draws interact with the
-    agent — chaser asserts bit-exact prefixes up to the
-    (reference-RNG-timed) enemy death; bossfight is excluded and
-    covered by the BossfightSim predictor instead. Caveflyer's pinned
-    scripts die on static hazards before enemies interfere, so it
-    replays exactly.
+    chaser's enemies) cannot be replayed with keyed draws — chaser
+    asserts bit-exact prefixes up to the (reference-RNG-timed) enemy
+    death; bossfight is covered by BossfightRefSim, which consumes the
+    real mt19937 stream in the binary's draw order and predicts its
+    reward stream bit-exactly (the last test below). Caveflyer's
+    pinned scripts die on static hazards before enemies interfere, so
+    it replays exactly.
 
 The reference .so keeps process-global ECS state (re-running cenv_make
 in one process trips an assert), so each game gets ONE module-scoped
@@ -385,3 +386,43 @@ def test_climber_reference_binary_ascent_parity(ref_libs):
         rr, rend = _run_ref(renv, seed, A[: end + 1, i].tolist())
         assert rend == end, f"seed {seed}: ref ended at {rend} != {end}"
         assert np.array_equal(rr, R[: end + 1, i]), f"seed {seed}"
+
+
+BOSSFIGHT_SEEDS = list(range(8))
+
+
+def test_bossfight_reference_binary_rng_oracle_parity(ref_libs):
+    """The LAST cross-engine game: bossfight's boss AI consumes mt19937
+    *during stepping* (weapon choice, shield-time jitter, volley
+    offsets, retargets, bounce velocities — games/bossfight/
+    common_systems.cpp:104-291,629-638), so engine-vs-binary replay is
+    impossible with keyed draws. BossfightRefSim (tools/bossfight_ref)
+    instead consumes the REAL libstdc++ mt19937 stream via the oracle in
+    the binary's exact draw order and predicts `cenv_step`'s reward
+    stream bit-exactly: 8 sustained-fire runs (seed 0 is a full boss
+    kill, +10 after 3 damage phases; the rest are deaths) and 8 noop
+    runs must match reward-for-reward, step-for-step."""
+    from procgen2_tpu.tools.bossfight_ref import BossfightRefSim
+
+    env = _ref_env(ref_libs / "ref_bossfight.so", BOSSFIGHT_SEEDS[0])
+    outcomes = []
+    for action, horizon in ((9, 1200), (4, 260)):
+        for seed in BOSSFIGHT_SEEDS:
+            env.reset(seed=seed)
+            sim = BossfightRefSim(seed)
+            try:
+                for t in range(horizon):
+                    _, r, term, _ = env.step(action)
+                    pr, pterm = sim.step(action)
+                    assert f32(r) == pr, (
+                        f"seed {seed} action {action} t={t}: "
+                        f"ref {r} sim {pr}")
+                    assert bool(term) == pterm, (
+                        f"seed {seed} action {action} t={t}")
+                    if term:
+                        outcomes.append((seed, action, t, f32(r)))
+                        break
+            finally:
+                sim.close()
+    # the scripted set must include a positive boss-kill trajectory
+    assert any(r == f32(10.0) for _, _, _, r in outcomes), outcomes

@@ -53,6 +53,32 @@ def test_scene_kernel_matches_reference():
                                   np.asarray(want, np.float32))
 
 
+def test_scene_kernel_raw_matches_mirror(monkeypatch):
+    """The in-kernel window extraction + MXU phase expansion
+    (scene_tpu_raw, interpret mode) must reproduce the jnp mirror path
+    of coinrun's _observe_scene bit-exactly."""
+    from procgen2_tpu import make
+    from procgen2_tpu.games import coinrun
+    from procgen2_tpu.render import compositor, scene_kernel as sk
+
+    env = make("coinrun")
+    bank = env.generate_bank(jax.random.key(7), num_levels=8)
+    state, _ = env.reset(bank, jax.random.key(8), num_envs=8)
+    for _ in range(2):
+        state, _ = env._step(bank, state, jnp.full((8,), 8, jnp.int32))
+    g = state.game
+
+    want = coinrun._observe_scene(env.cfg, g)  # CPU mirror path
+
+    orig = sk.scene_tpu_raw
+    monkeypatch.setattr(compositor, "_use_stamp_kernel", lambda: True)
+    monkeypatch.setattr(
+        sk, "scene_tpu_raw",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    got = coinrun._observe_scene(env.cfg, g)  # interpret kernel path
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_phase_tables_reconstruct_sampling():
     # TR/VV must reproduce direct floor() sampling for every phase.
     ppu, obs, qp = 4.8, 64, 4
