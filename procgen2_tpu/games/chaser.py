@@ -301,37 +301,43 @@ def _agent_substep(wall, pos, vel, next_vel, input_timer, action):
     next_vel = jnp.where(has_input, jnp.stack([movement_x, movement_y]), next_vel)
     input_timer = jnp.where(has_input, 0.0, input_timer)
 
-    eps = AGENT_SPEED * DT
     px, py = pos[0], pos[1]
     ix = px.astype(jnp.int32)
     iy = py.astype(jnp.int32)
-    y_centered = jnp.abs(py - (iy + 0.5)) <= eps
-    x_centered = jnp.abs(px - (ix + 0.5)) <= eps
 
-    # Queued turn engages at cell centers when the target cell is open
-    # (common_systems.cpp:345-385); the whole next_velocity vector is taken.
-    turn_x_pos = (next_vel[0] > 0) & y_centered & ~_wall_at(wall, ix + 1, iy)
-    turn_x_neg = (next_vel[0] < 0) & y_centered & ~_wall_at(wall, ix - 1, iy)
-    turn_y_pos = (next_vel[1] > 0) & x_centered & ~_wall_at(wall, ix, iy + 1)
-    turn_y_neg = (next_vel[1] < 0) & x_centered & ~_wall_at(wall, ix, iy - 1)
+    # The reference's centering gate `abs(pos - (int(pos) + 0.5f)) <=
+    # speed * dt` (common_systems.cpp:346-420) calls the GLOBAL ::abs —
+    # common_systems.cpp includes <cmath> (std::abs overloads only) but
+    # never `using std`, so unqualified abs binds to ::abs(int): the
+    # float argument truncates to 0 and the gate is ALWAYS TRUE for any
+    # sub-unit offset. Verified by compiling the expression in the
+    # reference's exact include context and by 15/15-seed bit-exact
+    # economy parity against the executed binary (the EPS-gated mirror
+    # left a 2-seed one-sub-step pickup residual). Turns and stops
+    # therefore engage from ANYWHERE in the cell, not just near centers.
+
+    # Queued turn (common_systems.cpp:345-385); the whole next_velocity
+    # vector is taken.
+    turn_x_pos = (next_vel[0] > 0) & ~_wall_at(wall, ix + 1, iy)
+    turn_x_neg = (next_vel[0] < 0) & ~_wall_at(wall, ix - 1, iy)
+    turn_y_pos = (next_vel[1] > 0) & ~_wall_at(wall, ix, iy + 1)
+    turn_y_neg = (next_vel[1] < 0) & ~_wall_at(wall, ix, iy - 1)
     turn_x = turn_x_pos | turn_x_neg
     turn_y = turn_y_pos | turn_y_neg
     py = jnp.where(turn_x, iy + 0.5, py)
     px = jnp.where(turn_y, ix + 0.5, px)
     vel = jnp.where(turn_x | turn_y, next_vel, vel)
 
-    # Wall stops at cell centers (common_systems.cpp:387-428)
+    # Wall stops (common_systems.cpp:387-428; same always-true gate)
     ix = px.astype(jnp.int32)
     iy = py.astype(jnp.int32)
-    x_centered = jnp.abs(px - (ix + 0.5)) <= eps
-    y_centered = jnp.abs(py - (iy + 0.5)) <= eps
     stop_x = (
-        ((vel[0] < 0) & x_centered & _wall_at(wall, ix - 1, iy))
-        | ((vel[0] > 0) & x_centered & _wall_at(wall, ix + 1, iy))
+        ((vel[0] < 0) & _wall_at(wall, ix - 1, iy))
+        | ((vel[0] > 0) & _wall_at(wall, ix + 1, iy))
     )
     stop_y = (
-        ((vel[1] < 0) & y_centered & _wall_at(wall, ix, iy - 1))
-        | ((vel[1] > 0) & y_centered & _wall_at(wall, ix, iy + 1))
+        ((vel[1] < 0) & _wall_at(wall, ix, iy - 1))
+        | ((vel[1] > 0) & _wall_at(wall, ix, iy + 1))
     )
     px = jnp.where(stop_x, ix + 0.5, px)
     py = jnp.where(stop_y, iy + 0.5, py)
@@ -361,11 +367,11 @@ def _mob_substep(level, mob_pos, mob_vel, hatch_timer, eat_timer, agent_pos, key
         px, py = p[0], p[1]
         ix = px.astype(jnp.int32)
         iy = py.astype(jnp.int32)
-        at_junction = (
-            jnp.maximum(jnp.abs(px - (ix + 0.5)), jnp.abs(py - (iy + 0.5)))
-            < speed * DT
-        )
-        decide = hatched & (((v[0] == 0.0) & (v[1] == 0.0)) | at_junction)
+        # at_junction (common_systems.cpp:165-166) uses the same
+        # int-bound ::abs as the agent gates (see _agent_substep):
+        # max(abs(int 0), abs(int 0)) < speed*dt is ALWAYS TRUE, so a
+        # hatched enemy re-decides its direction EVERY sub-step.
+        decide = hatched
 
         # Allowed directions: open tile, not a reversal
         # (common_systems.cpp:173-194)
@@ -379,10 +385,12 @@ def _mob_substep(level, mob_pos, mob_vel, hatch_timer, eat_timer, agent_pos, key
         dirs = jnp.asarray(_DIRS)
         be_aggressive = jax.random.uniform(k_aggr) < 0.5
         # Manhattan-greedy toward (or away from) the agent
-        # (common_systems.cpp:200-218); first index wins ties.
-        cand = jnp.abs(px + dirs[:, 0] - agent_pos[0]) + jnp.abs(
-            py + dirs[:, 1] - agent_pos[1]
-        )
+        # (common_systems.cpp:200-218); first index wins ties. The
+        # distance ALSO goes through the int-bound ::abs — each delta
+        # truncates toward zero before abs, so the chase metric is the
+        # INTEGER manhattan distance (cell-granular, heavy ties).
+        cand = (jnp.abs(jnp.trunc(px + dirs[:, 0] - agent_pos[0]))
+                + jnp.abs(jnp.trunc(py + dirs[:, 1] - agent_pos[1])))
         cand = jnp.where(eat_timer > 0.0, -cand, cand)
         greedy = jnp.argmin(jnp.where(poss, cand, jnp.inf))
         greedy = jnp.where(poss.any(), greedy, 0)  # select_index stays 0

@@ -447,7 +447,13 @@ def step(cfg: Config, state: State, action):
             _agent_substep(level, pos, vel, on_ground, jumps_left, jump_timer,
                            face_forward, anim_t, a)
         )
-        enabled = ~n_og | (jnp.abs(n_vel[0]) > 0.01)  # common_systems.cpp:198
+        # common_systems.cpp:198: `!on_ground || abs(velocity.x) > 0.01f`
+        # — but that abs is the int-bound global ::abs (no float
+        # overload in scope), so the |vx| < 1 argument truncates to 0
+        # and the second clause is ALWAYS FALSE: the reference only
+        # emits dust while airborne (same binding as chaser's
+        # centering gates, see games/chaser.py:_agent_substep).
+        enabled = ~n_og
         n_ppos, n_plife, n_ptimer = _particles_substep(
             n_pos, part_pos, part_life, spawn_timer, enabled
         )

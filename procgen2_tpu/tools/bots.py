@@ -566,14 +566,17 @@ class _ChaserSim:
 
         px, py = self.pos
         ix, iy = int(px), int(py)
-        y_cent = abs(py - f32(iy + 0.5)) <= self.EPS
-        x_cent = abs(px - f32(ix + 0.5)) <= self.EPS
+        # The reference's centering gate calls the GLOBAL ::abs, which
+        # binds to abs(int) (no float overload in scope at
+        # common_systems.cpp:346-420): the float offset truncates to 0
+        # and the gate is ALWAYS TRUE — turns/stops engage from
+        # anywhere in the cell (see games/chaser.py:_agent_substep).
         nv = self.next_vel
-        turn_x = y_cent and (
+        turn_x = (
             (nv[0] > 0 and not self._wall_at(ix + 1, iy))
             or (nv[0] < 0 and not self._wall_at(ix - 1, iy))
         )
-        turn_y = x_cent and (
+        turn_y = (
             (nv[1] > 0 and not self._wall_at(ix, iy + 1))
             or (nv[1] < 0 and not self._wall_at(ix, iy - 1))
         )
@@ -585,14 +588,12 @@ class _ChaserSim:
             self.vel = nv.copy()
 
         ix, iy = int(px), int(py)
-        x_cent = abs(px - f32(ix + 0.5)) <= self.EPS
-        y_cent = abs(py - f32(iy + 0.5)) <= self.EPS
         v = self.vel
-        stop_x = x_cent and (
+        stop_x = (
             (v[0] < 0 and self._wall_at(ix - 1, iy))
             or (v[0] > 0 and self._wall_at(ix + 1, iy))
         )
-        stop_y = y_cent and (
+        stop_y = (
             (v[1] < 0 and self._wall_at(ix, iy - 1))
             or (v[1] > 0 and self._wall_at(ix, iy + 1))
         )

@@ -122,8 +122,10 @@ def test_jumper_fatal_death_step_parity():
 # agent overlapping a live hazard by the game's own contact rects.
 
 CHASER_FATAL = [  # easy mode, NOOP agent eaten by a patrolling enemy
-    (0, 58), (1, 114), (2, 134), (3, 66), (4, 70), (6, 82),
-    (7, 50), (8, 62), (9, 50), (10, 62), (11, 86), (12, 58),
+    # (re-pinned after mirroring the reference's always-true junction
+    # gate — enemies re-decide direction every sub-step, chaser.py)
+    (0, 56), (2, 118), (3, 126), (6, 88), (7, 50), (8, 69),
+    (9, 50), (10, 60), (11, 102), (12, 86),
 ]
 
 

@@ -64,7 +64,14 @@ def _run_batched(env, bank_np, seeds, actions_per_lane, render=False):
 
 # Seeds whose planned full-clear route avoids all enemy contact under
 # the pinned reset keys (searched over seeds 0..100; deterministic).
+# Mixed pool: most scripted routes now END IN ENEMY CONTACT — with the
+# reference's int-bound ::abs junction gate mirrored (see
+# games/chaser.py:_mob_substep), enemies re-decide every sub-step and
+# are as lethal as the executed binary's (which catches the route on
+# 14 of 15 cross-engine seeds). Economy parity is asserted as exact
+# prefixes up to death; CHASER_CLEAR_SEEDS are the rare full clears.
 CHASER_SEEDS = [5, 17, 20, 21, 28, 34, 35, 36, 43, 46, 59, 71, 83, 84, 88]
+CHASER_CLEAR_SEEDS = [119, 137, 261]
 
 
 def _run_closed_loop(env, bank_np, seeds, make_bot, state_reader,
@@ -143,14 +150,40 @@ def test_chaser_scripted_full_clear_return_parity():
     for i, seed in enumerate(CHASER_SEEDS):
         rew, term = preds[i]
         n = len(rew)
-        # termination exactly at predicted completion, never earlier
-        assert D[: n - 1, i].any() == False, f"seed {seed}: early death"  # noqa: E712
+        if D[: n - 1, i].any():
+            # enemy contact (keyed-RNG timing): economy must be
+            # bit-exact right up to the death step, which pays 0.0
+            end = int(np.argmax(D[:, i]))
+            assert np.array_equal(R[:end, i], rew[:end]), (
+                f"seed {seed}: prefix mismatch at "
+                f"{np.nonzero(R[:end, i] != rew[:end])[0][:5]}"
+            )
+            assert R[end, i] == f32(0.0), f"seed {seed}: death reward"
+        else:
+            assert D[n - 1, i], f"seed {seed}: no completion"
+            assert np.array_equal(R[:n, i], rew), (
+                f"seed {seed}: reward sequence mismatch at "
+                f"{np.nonzero(R[:n, i] != rew)[0][:5]}"
+            )
+
+    # the full-clear pool: scripted routes that beat the (now
+    # reference-lethal) enemies end-to-end, +10 completion included
+    bank_np = reference_bank("chaser", CHASER_CLEAR_SEEDS)
+    acts, preds = [], []
+    for i, seed in enumerate(CHASER_CLEAR_SEEDS):
+        lvl = _level_i(bank_np, i)
+        route = bots.chaser_full_route(lvl)
+        a = bots.route_to_actions(route, bots.CHASER_STEPS_PER_CELL)
+        acts.append(a)
+        preds.append(bots.chaser_predict(lvl, a))
+    R, D, _ = _run_batched(env, bank_np, CHASER_CLEAR_SEEDS, acts)
+    for i, seed in enumerate(CHASER_CLEAR_SEEDS):
+        rew, term = preds[i]
+        n = len(rew)
+        assert not D[: n - 1, i].any(), f"seed {seed}: early death"
         assert D[n - 1, i], f"seed {seed}: no completion"
-        # bit-exact per-step reward sequence (f32 equality, no tolerance)
-        assert np.array_equal(R[:n, i], rew), (
-            f"seed {seed}: reward sequence mismatch at "
-            f"{np.nonzero(R[:n, i] != rew)[0][:5]}"
-        )
+        assert rew[-1] >= f32(10.0)
+        assert np.array_equal(R[:n, i], rew), f"seed {seed}" 
 
 
 # ---------------------------------------------------------------------------

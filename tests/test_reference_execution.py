@@ -171,7 +171,7 @@ def test_jumper_reference_binary_death_parity(ref_libs):
         assert np.array_equal(rr, pr), f"seed {seed}"
 
 
-CHASER_SEEDS = [5, 17, 21, 28, 34, 35, 36, 43, 46, 59, 71, 83, 84]
+CHASER_SEEDS = [5, 17, 20, 21, 28, 34, 35, 36, 43, 46, 59, 71, 83, 84, 88]
 CHASER_FULL_CLEAR = {84}  # reference enemies never catch the route
 
 
@@ -183,12 +183,13 @@ def test_chaser_reference_binary_economy_parity(ref_libs):
     complete with the exact +10 all-clear; on the rest, every reward up
     to the enemy-death step matches exactly and death pays 0.0.
 
-    (Seeds 20/88 of the scripted pool are excluded: on those runs the
-    reference SUPPRESSES the reward of 1-2 isolated pellets (its sum is
-    exactly 0.04/0.08 lower; the streams re-sync immediately after) —
-    i.e. those pickups landed on sub-steps 1-3 in the reference and
-    sub-step 4 here, a residual f32 boundary-parity slip at specific
-    pellets that op-for-op expression mirroring has not yet traced.)"""
+    Seeds 20/88 were a long-standing residual (1-2 suppressed pellet
+    rewards): root-caused to the reference's centering gates calling
+    the int-bound global ::abs (argument truncates to 0, gate always
+    true — common_systems.cpp:346-420), so turns engage a sub-step
+    earlier than an EPS-gated mirror. With the gates mirrored as
+    always-true (games/chaser.py, tools/bots._ChaserSim) all 15 seeds
+    replay bit-exactly."""
     bank = reference_bank("chaser", CHASER_SEEDS)
     env = _ref_env(ref_libs / "ref_chaser.so", CHASER_SEEDS[0])
     for i, seed in enumerate(CHASER_SEEDS):
