@@ -73,6 +73,12 @@ DAMAGE_TIME = 80.0
 
 NUM_A_BULLETS = 32
 NUM_B_BULLETS = 64
+# Render-only slot compaction (_cull_alive): worst sustained boss-bullet
+# load is pattern 2's 8 bullets / 10 steps with ~40-step lifetimes ≈ 32
+# live; the player ring turns over every 5 steps (few live). Overflow
+# drops the stalest ring slots from RENDERING only (physics keeps all).
+BB_CULL = 36
+AB_CULL = 12
 NUM_EXPLOSIONS = 8
 MAX_BARRIERS = 4
 
@@ -785,7 +791,10 @@ def _stamp_banks():
         [("bolt_" + k, 0.15 * PPU, 0.15 * PPU) for k in A.LASER_COLORS]
         + [(f"explosion{i}", 0.19 * PPU, 0.19 * PPU) for i in range(5)]
     )
-    ab_bank = A.build_pixel_bank(ab_specs, patch=4)
+    # patch=8 (content is ~3 px): lets the player-bullet pool share one
+    # kernel pass with the P=8 ship bank (z-adjacent: the reference's
+    # agent render draws bullets then the ship, common_systems.cpp:699)
+    ab_bank = A.build_pixel_bank(ab_specs, patch=8)
 
     bar_bank = A.build_pixel_bank(
         tuple((f"barrier{i}", 0.3 * PPU, 0.3 * PPU) for i in range(3)), patch=8
@@ -811,11 +820,13 @@ def _stamp_banks():
         ),
         patch=8,
     )
-    # barriers + boss bullets composite as one z-adjacent P=8 group
+    # barriers + boss bullets composite as one z-adjacent P=8 group;
+    # player bullets + ship likewise
     barbb_bank = np.concatenate([bar_bank, bb_bank], axis=0)
+    abship_bank = np.concatenate([ab_bank, ship_bank], axis=0)
     return dict(bb=bb_bank, ab=ab_bank, bar=bar_bank, barbb=barbb_bank,
                 boss=boss_bank, shield=shield_bank, dmg=dmg_bank,
-                ship=ship_bank)
+                ship=ship_bank, abship=abship_bank)
 
 
 @functools.lru_cache(maxsize=None)
@@ -838,6 +849,28 @@ def _r0c0(cx, cy, P):
     c0 = jnp.round((cx + HALF) * PPU - P / 2).astype(jnp.int32)
     r0 = jnp.round((cy + HALF) * PPU - P / 2).astype(jnp.int32)
     return r0, c0
+
+
+def _cull_alive(k, alive, var, x, y):
+    """Compact a mostly-dead slot pool to its top-k alive slots.
+
+    The stamp kernel pays a scalar-loop iteration per SLOT (dead ones
+    only branch, but bossfight's 64-slot bullet ring plus the 32-slot
+    player ring made ~111 iterations/env while ~15 are live — the
+    kernel custom-call profiled 16.7 of 22.3 ms/step @4096). top_k on
+    the alive mask is stable, so surviving slots keep their relative
+    (painter) order; var/positions ride one-hot selects (f32 for the
+    positions — bf16 would wobble the pixel rounding)."""
+    M = alive.shape[1]
+    _, ids = jax.lax.top_k(alive.astype(jnp.float32), k)
+    oh = (ids[..., None] == jnp.arange(M)).astype(jnp.float32)
+    sel_alive = jnp.einsum("nkm,nm->nk", oh, alive.astype(jnp.float32)) > 0.5
+    sel_var = jnp.round(
+        jnp.einsum("nkm,nm->nk", oh, var.astype(jnp.float32))
+    ).astype(jnp.int32)
+    sel_x = jnp.einsum("nkm,nm->nk", oh, x)
+    sel_y = jnp.einsum("nkm,nm->nk", oh, y)
+    return sel_alive, sel_var, sel_x, sel_y
 
 
 def observe_batch(cfg: Config, states: State):
@@ -880,15 +913,15 @@ def observe_batch(cfg: Config, states: State):
         3 * ROT_BINS + eidx,
     )
     n_bar = banks["bar"].shape[0]
+    bb_alive, bb_var, bb_x, bb_y = _cull_alive(
+        BB_CULL, is_live | is_expl, n_bar + var,
+        states.bb_pos[..., 0], states.bb_pos[..., 1])
     img = blend(
         img, "barbb",
-        jnp.concatenate([blank, n_bar + var], axis=1),
-        jnp.concatenate(
-            [level.barrier_pos[..., 0], states.bb_pos[..., 0]], axis=1),
-        jnp.concatenate(
-            [level.barrier_pos[..., 1], states.bb_pos[..., 1]], axis=1),
-        alives=jnp.concatenate(
-            [level.barrier_exists, is_live | is_expl], axis=1),
+        jnp.concatenate([blank, bb_var], axis=1),
+        jnp.concatenate([level.barrier_pos[..., 0], bb_x], axis=1),
+        jnp.concatenate([level.barrier_pos[..., 1], bb_y], axis=1),
+        alives=jnp.concatenate([level.barrier_exists, bb_alive], axis=1),
     )
 
     # boss ship + shield
@@ -908,7 +941,9 @@ def observe_batch(cfg: Config, states: State):
                 states.ex_pos[..., 0] - 0.0025, states.ex_pos[..., 1] - 0.0025,
                 alives=ewin & (states.ex_frame >= 0.0))
 
-    # player bullets / explosions
+    # player bullets / explosions + agent ship: one culled P=8 pass
+    # (z-adjacent — the reference agent render draws bullets then the
+    # ship, common_systems.cpp:695-720)
     awin = jax.vmap(_window, in_axes=(0, 0, None))(
         states.ab_next, states.ab_num, NUM_A_BULLETS
     )
@@ -920,13 +955,18 @@ def observe_batch(cfg: Config, states: State):
         level.bullet_tex[:, None].astype(jnp.int32),
         3 + jnp.clip(aframe.astype(jnp.int32) - 1, 0, 4),
     )
-    img = blend(img, "ab", avar,
-                states.ab_pos[..., 0], states.ab_pos[..., 1],
-                alives=a_live | a_expl)
-
-    # agent ship
-    img = blend(img, "ship", level.ship_tex.astype(jnp.int32)[:, None],
-                states.pos[:, None, 0], states.pos[:, None, 1])
+    ab_alive, ab_var, ab_x, ab_y = _cull_alive(
+        AB_CULL, a_live | a_expl, avar,
+        states.ab_pos[..., 0], states.ab_pos[..., 1])
+    n_ab = banks["ab"].shape[0]
+    img = blend(
+        img, "abship",
+        jnp.concatenate(
+            [ab_var, n_ab + level.ship_tex.astype(jnp.int32)[:, None]], 1),
+        jnp.concatenate([ab_x, states.pos[:, None, 0]], axis=1),
+        jnp.concatenate([ab_y, states.pos[:, None, 1]], axis=1),
+        alives=jnp.concatenate([ab_alive, jnp.ones((N, 1), bool)], axis=1),
+    )
 
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
     return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment

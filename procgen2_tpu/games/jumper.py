@@ -497,7 +497,8 @@ def observe(cfg: Config, state: State):
     img = C.clear()
     img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)
     lut = jnp.asarray(A["tile_lut"])[level.theme]
-    img = C.draw_tiles(img, level.grid, lut, A["atlas_p"], wx, wy, oob_tile=EMPTY)
+    img = C.draw_tiles(img, level.grid, lut, A["atlas_p"], wx, wy,
+                       oob_tile=WALL_MID)  # tilemap.h:84-87: OOB is wall
 
     # Jump-dust particles (rendered after tilemap, before sprites —
     # jumper.cpp:470-472; fading alpha + shrink, common_systems.cpp:281-303)
@@ -637,7 +638,16 @@ def _compass_overlay(obs: int):
     cs = 200.0 * ZOOM
     offx, offy = -32.0 * ZOOM, 32.0 * ZOOM
     x0, y0 = obs - cs + offx, offy
-    src = atlas_lib.sprite_rgba("compass_circle").astype(np.float32)
+    # prefer the overlay PNG decoded at display resolution: the 60 px
+    # circle upsampled from the 32 px atlas entry smears its rim
+    # (~14/255 mean frame error vs the executed reference)
+    from ..render import png_assets
+
+    sp = png_assets.source_path("compass_circle")
+    if sp is not None:
+        src = png_assets.load_png(sp, size=max(64, obs)) * 255.0
+    else:
+        src = atlas_lib.sprite_rgba("compass_circle").astype(np.float32)
     S = src.shape[0]
     c = np.arange(obs) + 0.5
     u_f = (c - x0) / cs
@@ -689,7 +699,12 @@ def observe_batch(cfg: Config, states: State):
     G = jnp.einsum("nrw,nuw->nru", G, ohx,
                    preferred_element_type=jnp.bfloat16)
     G = jnp.where(inb, jnp.round(G),
-                  jnp.float32(EMPTY)).astype(jnp.int8)[:, None]
+                  jnp.float32(WALL_MID)).astype(jnp.int8)[:, None]
+    # tilemap.h:84-87: "Out of bounds is a wall" — the renderer's tile
+    # loop reads get() past the map edges, so the reference paints
+    # themed wall_mid beyond the level borders (visible when the camera
+    # nears a corner; rendering it EMPTY measured ~10/255 mean frame
+    # error against the executed binary on edge-adjacent spawns)
 
     atlas_s = jnp.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)  # [A, 4, S, S]
     tl = jnp.asarray(A["tile_lut"])

@@ -204,23 +204,47 @@ BACKGROUND_PATHS: Dict[str, Sequence[str]] = {
 # Decoding / installation
 # ---------------------------------------------------------------------------
 
-def load_png(path: str, size: int = S) -> np.ndarray:
+def load_png(path: str, size: int = S, square_crop: bool = False) -> np.ndarray:
     """Decode a PNG and resample to `size` x `size`, float32 RGBA in [0, 1].
 
     Resampling is area-averaging (PIL BOX): the reference blits full-res
     textures through SDL's software scaler at draw time; pre-filtering to
     the atlas resolution is the batched equivalent.
+
+    square_crop: take the LEFT square of a non-square image before
+    resampling. Every reference bg draw scales the texture by
+    64*unit_to_pixels/height (e.g. maze.cpp:408) or the screen-height
+    equivalent (bossfight.cpp:418), so the visible world only ever shows
+    the left height x height region of wide textures (the x offset is
+    `-offset * (aspect - 1)` PIXELS — sub-pixel); squashing the full
+    width in was a measured ~20-46/255 mean frame error on bossfight's
+    480x270 space backgrounds.
     """
     from PIL import Image
 
     with Image.open(path) as im:
-        im = im.convert("RGBA").resize((size, size), Image.BOX)
+        im = im.convert("RGBA")
+        if square_crop and im.width != im.height:
+            side = min(im.width, im.height)
+            im = im.crop((0, 0, side, side))
+        im = im.resize((size, size), Image.BOX)
         arr = np.asarray(im, np.float32) / 255.0
     return arr
 
 
 _ORIGINALS: Dict[str, object] = {}
 _INSTALLED: List[str] = []
+_SOURCE_PATHS: Dict[str, str] = {}
+
+
+def source_path(name: str) -> Optional[str]:
+    """Decoded-PNG source of an installed overlay sprite, or None.
+
+    Lets fixed-size screen-space art (jumper's 60 px compass) re-decode
+    at its DISPLAY resolution instead of upsampling the S x S atlas
+    entry — the atlas detour measured ~14/255 mean frame error against
+    the executed reference's native-resolution blit."""
+    return _SOURCE_PATHS.get(name)
 
 
 def _clear_caches():
@@ -263,6 +287,7 @@ def install(assets_dir: str, mapping: Optional[Dict[str, str]] = None,
             _ORIGINALS[name] = atlas._REGISTRY[name]
         img = load_png(path)
         atlas._REGISTRY[name] = (lambda im=img: im)
+        _SOURCE_PATHS[name] = path
         installed.append(name)
 
     if backgrounds:
@@ -274,7 +299,7 @@ def install(assets_dir: str, mapping: Optional[Dict[str, str]] = None,
                     if strict:
                         raise FileNotFoundError(path)
                     continue
-                rgba = load_png(path, size=atlas.BG_SIZE)
+                rgba = load_png(path, size=atlas.BG_SIZE, square_crop=True)
                 imgs.append(
                     np.clip(np.round(rgba[..., :3] * 255), 0, 255).astype(np.uint8)
                 )
@@ -294,6 +319,7 @@ def uninstall() -> None:
     _ORIGINALS.clear()
     atlas._BG_OVERLAY.clear()
     _INSTALLED[:] = []
+    _SOURCE_PATHS.clear()
     _clear_caches()
 
 
