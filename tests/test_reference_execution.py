@@ -490,3 +490,92 @@ def test_reference_binary_pixel_parity_all_games(ref_libs, game):
             )
     finally:
         png_assets.uninstall()
+
+
+def _record_engine_run(game, kw, seeds, mk_bot, act_fn, T):
+    """Closed-loop bot rollout against the JAX engine: returns per-step
+    actions, rewards, terminations (the climber-ascent recipe)."""
+    import jax.numpy as jnp
+    import procgen2_tpu as pg
+    from procgen2_tpu.tools import bots as B
+
+    bank_np = reference_bank(game, seeds, **kw)
+    env = pg.make(game, **kw)
+    bank = jax.tree.map(jnp.asarray, bank_np)
+    state = env.reset_pinned(
+        bank, jax.random.key(123), jnp.asarray(seeds, jnp.uint32))
+    N = len(seeds)
+    levels = [_level_i(bank_np, i) for i in range(N)]
+    bs = [mk_bot(lvl) for lvl in levels]
+    R = np.zeros((T, N), f32)
+    D = np.zeros((T, N), bool)
+    A = np.full((T, N), B.NOOP, np.int32)
+    done = np.zeros(N, bool)
+    for t in range(T):
+        gs = state.game
+        A[t] = [act_fn(bs[i], gs, i) if not done[i] else B.NOOP
+                for i in range(N)]
+        state, ts = env.step_raw(state, jnp.asarray(A[t]), render=False)
+        R[t] = np.asarray(ts.reward)
+        D[t] = np.asarray(ts.terminated)
+        done |= D[t]
+        if done.all():
+            break
+    return A, R, D
+
+
+COINRUN_WIN_SEEDS = [0, 1, 2, 5, 7, 17]
+
+
+def test_coinrun_reference_binary_win_parity(ref_libs):
+    """Positive-reward cross-engine replay: CoinrunBot coin-collecting
+    runs recorded against the JAX engine replay in the compiled
+    reference with IDENTICAL reward streams — zero rewards throughout
+    and the exact +10.0f terminal on the coin-touch step
+    (coinrun.cpp:364-366). Complements the death-parity suite: every
+    deterministic game now has a scoring trajectory validated against
+    the executed binary."""
+    from procgen2_tpu.tools import bots as B
+
+    def act(b, gs, i):
+        return b.act(np.asarray(gs.pos)[i], np.asarray(gs.vel)[i],
+                     np.asarray(gs.on_ground)[i])
+
+    A, R, D = _record_engine_run(
+        "coinrun", {}, COINRUN_WIN_SEEDS, B.CoinrunBot, act, 300)
+    renv = _ref_env(ref_libs / "ref_coinrun.so", COINRUN_WIN_SEEDS[0])
+    for i, seed in enumerate(COINRUN_WIN_SEEDS):
+        assert D[:, i].any(), f"seed {seed}: bot never finished"
+        end = int(np.argmax(D[:, i]))
+        assert R[end, i] == f32(10.0), f"seed {seed}: engine end reward"
+        rr, rend = _run_ref(renv, seed, A[: end + 1, i].tolist())
+        assert rend == end, f"seed {seed}: ref ended at {rend} != {end}"
+        assert np.array_equal(rr, R[: end + 1, i]), f"seed {seed}"
+
+
+JUMPER_WIN_SEEDS = [1, 4, 6, 7, 10, 23]
+
+
+def test_jumper_reference_binary_win_parity(ref_libs):
+    """Positive-reward cross-engine replay for jumper: JumperBot
+    carrot runs (BFS waypoints + double jump) replay in the compiled
+    reference with identical streams and the exact +10.0f terminal on
+    the carrot step (jumper.cpp:362-364)."""
+    from procgen2_tpu.tools import bots as B
+
+    def act(b, gs, i):
+        return b.act(np.asarray(gs.pos)[i], np.asarray(gs.vel)[i],
+                     np.asarray(gs.on_ground)[i],
+                     np.asarray(gs.jumps_left)[i],
+                     np.asarray(gs.jump_timer)[i])
+
+    A, R, D = _record_engine_run(
+        "jumper", {"mode": "hard"}, JUMPER_WIN_SEEDS, B.JumperBot, act, 500)
+    renv = _ref_env(ref_libs / "ref_jumper.so", JUMPER_WIN_SEEDS[0])
+    for i, seed in enumerate(JUMPER_WIN_SEEDS):
+        assert D[:, i].any(), f"seed {seed}: bot never finished"
+        end = int(np.argmax(D[:, i]))
+        assert R[end, i] == f32(10.0), f"seed {seed}: engine end reward"
+        rr, rend = _run_ref(renv, seed, A[: end + 1, i].tolist())
+        assert rend == end, f"seed {seed}: ref ended at {rend} != {end}"
+        assert np.array_equal(rr, R[: end + 1, i]), f"seed {seed}"
