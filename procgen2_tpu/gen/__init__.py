@@ -1,1 +1,1 @@
-from .kruskal import kruskal_maze, masked_uniform_cell
+from .kruskal import boruvka_maze, kruskal_maze, masked_uniform_cell

@@ -99,22 +99,34 @@ def kruskal_maze(key, dim, max_dim: int):
 
     order = jax.random.permutation(key, n_walls)
 
-    wall = jnp.ones(D * D, bool).at[0].set(False)  # corner room opened,
-    #                                           maze_generator.cpp:71
     parent = jnp.arange(D * D, dtype=jnp.int32)
     rank = jnp.zeros(D * D, jnp.int32)
+    carved = jnp.zeros(n_walls, bool)
 
+    # The loop carries ONLY the union-find state + the per-wall carve
+    # bits. The reference also checks `wall[m]` before carving
+    # (maze_generator.cpp:110-118), but each wall's CENTER cell is
+    # unique to that wall and centers are never cell 0, so the check is
+    # always true at the wall's own turn — dropping the wall-grid carry
+    # removes three [D*D] scatters and a gather per iteration (measured
+    # 5.69k -> 6.02k levels/s for the hard-maze bank on v5e).
+    #
+    # Parallel reformulations were tried and measured SLOWER (see
+    # PERF.md round 5): Boruvka rounds with scatter segment_min 2.66k,
+    # with dense broadcast-min 3.00k (the label/pointer-jump gathers
+    # dominate), and chunked snapshot-finds with exact staleness chases
+    # 5.40k/5.58k at chunk 8/4 — the sequential fori_loop's per-wall
+    # latency is already close to the batched-gather floor at these
+    # maze sizes.
     def body(k, carry):
-        wall_g, parent, rank = carry
+        parent, rank, carved = carry
         w = order[k]
-        a, b, m = c1[w], c2[w], c0[w]
+        a, b = c1[w], c2[w]
+        m = c0[w]
         ra = _find(parent, a)
         rb = _find(parent, b)
-        can = valid[w] & wall_g[m] & (ra != rb)
-        # Carve endpoints + center (maze_generator.cpp:119-123)
-        wall_g = wall_g.at[a].set(wall_g[a] & ~can)
-        wall_g = wall_g.at[b].set(wall_g[b] & ~can)
-        wall_g = wall_g.at[m].set(wall_g[m] & ~can)
+        can = valid[w] & (ra != rb)
+        carved = carved.at[w].set(can)
         # Union by rank; the wall-center cell joins the root too
         # (maze_generator.cpp:125-134)
         a_bigger = rank[ra] > rank[rb]
@@ -124,9 +136,116 @@ def kruskal_maze(key, dim, max_dim: int):
         parent = parent.at[m].set(jnp.where(can, root, parent[m]))
         bump = can & ~a_bigger & (rank[ra] == rank[rb])
         rank = rank.at[root].add(bump.astype(jnp.int32))
-        return wall_g, parent, rank
+        return parent, rank, carved
 
-    wall, parent, rank = jax.lax.fori_loop(0, n_walls, body, (wall, parent, rank))
+    parent, rank, carved = jax.lax.fori_loop(
+        0, n_walls, body, (parent, rank, carved))
+
+    wall = jnp.ones(D * D, bool).at[0].set(False)  # corner room opened,
+    #                                           maze_generator.cpp:71
+    cells = jnp.concatenate([
+        jnp.where(carved, c1, 0), jnp.where(carved, c2, 0),
+        jnp.where(carved, c0, 0),
+    ])
+    opened = jnp.concatenate([carved, carved, carved])
+    wall = wall.at[cells].set(jnp.where(opened, False, wall[cells]))
+    return wall.reshape(D, D)
+
+
+def boruvka_maze(key, dim, max_dim: int):
+    """Carve the SAME maze as `kruskal_maze` in O(log n) parallel rounds.
+
+    Random-order Kruskal accepts exactly the minimum-spanning-tree edges
+    of the room graph under weights = the wall's position in the visit
+    permutation (acceptance depends only on connectivity, and the MST is
+    unique for distinct weights) — so Boruvka's algorithm on those same
+    weights carves the IDENTICAL wall set, key for key. The sequential
+    ~n_walls fori_loop (two rank-bounded finds per iteration; the
+    measured bank-generation bottleneck, PERF.md) becomes ~10 rounds of
+    array-parallel work: per round every component picks its minimum
+    crossing wall (segment_min over both endpoint labels), carved walls
+    are recovered by VALUE comparison against the per-component minima
+    (no scatter in the round body), and labels contract by pointer
+    jumping.
+
+    Verified bit-identical to kruskal_maze across keys/dims
+    (tests/test_kruskal.py)."""
+    e1, e2, ce = _wall_list(max_dim)
+    e1 = jnp.asarray(e1)
+    e2 = jnp.asarray(e2)
+    ce = jnp.asarray(ce)
+    n_walls = e1.shape[0]
+    D = max_dim
+    RD = (D + 1) // 2
+    R = RD * RD  # rooms at even-even cells
+
+    def room(p):
+        return (p[..., 1] // 2) + RD * (p[..., 0] // 2)
+
+    u = room(e1)
+    v = room(e2)
+    valid = (
+        (jnp.maximum(e1[:, 0], jnp.maximum(e2[:, 0], ce[:, 0])) < dim)
+        & (jnp.maximum(e1[:, 1], jnp.maximum(e2[:, 1], ce[:, 1])) < dim)
+    )
+
+    order = jax.random.permutation(key, n_walls)
+    # weight of wall w = its rank in the visit order (inverse permutation)
+    weight = jnp.argsort(order).astype(jnp.int32)
+    BIG = jnp.int32(n_walls)
+
+    labels = jnp.arange(R, dtype=jnp.int32)
+    carved = jnp.zeros(n_walls, bool)
+    n_rounds = int(np.ceil(np.log2(max(R, 2)))) + 1
+
+    def round_body(_, carry):
+        labels, carved = carry
+        lu = labels[u]
+        lv = labels[v]
+        active = valid & (lu != lv)
+        keyw = jnp.where(active, weight, BIG)
+        # per-component min via a dense broadcast-reduce: segment_min
+        # lowers to scatter-min, which under vmap is the slow batched-
+        # scatter path (measured 2x SLOWER than the sequential Kruskal
+        # loop); a [E, R] masked min is pure fused VPU reduce work
+        comp = jnp.arange(R, dtype=jnp.int32)
+        m_u = jnp.min(
+            jnp.where(lu[:, None] == comp[None, :], keyw[:, None], BIG),
+            axis=0)
+        m_v = jnp.min(
+            jnp.where(lv[:, None] == comp[None, :], keyw[:, None], BIG),
+            axis=0)
+        emin = jnp.minimum(m_u, m_v)  # [R] min crossing weight per comp
+        # a wall is chosen iff it IS some endpoint component's minimum
+        chosen = active & ((keyw == emin[lu]) | (keyw == emin[lv]))
+        carved = carved | chosen
+        # hook each component to its chosen partner, break 2-cycles
+        # toward the smaller id, then pointer-jump to the root
+        ew = jnp.clip(emin, 0, n_walls - 1)
+        eidx = order[ew]  # weight rank -> wall index
+        partner = jnp.where(
+            emin < BIG, labels[u[eidx]] + labels[v[eidx]]
+            - jnp.arange(R, dtype=jnp.int32), jnp.arange(R, dtype=jnp.int32))
+        p = partner
+        two_cycle = (p[p] == jnp.arange(R)) & (jnp.arange(R) < p)
+        p = jnp.where(two_cycle, jnp.arange(R), p)
+        for _ in range(int(np.ceil(np.log2(max(R, 2))))):
+            p = p[p]
+        labels = p[labels]
+        return labels, carved
+
+    labels, carved = jax.lax.fori_loop(
+        0, n_rounds, round_body, (labels, carved))
+
+    cells = jnp.concatenate([
+        jnp.where(carved, e1[:, 1] + D * e1[:, 0], 0),
+        jnp.where(carved, e2[:, 1] + D * e2[:, 0], 0),
+        jnp.where(carved, ce[:, 1] + D * ce[:, 0], 0),
+    ])
+    opened = jnp.concatenate([carved, carved, carved])
+    wall = jnp.ones(D * D, bool).at[0].set(False)
+    wall = wall.at[cells].set(
+        jnp.where(opened, False, wall[cells]))
     return wall.reshape(D, D)
 
 

@@ -35,10 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .stamp_kernel import LANES, _pad_bank, _win
 
 
-def _blend_stamps_ref(out_ref, e, bank_ref, var_ref, scale_ref, r0_ref,
+def _blend_stamps_ref(out_ref, E, bank_ref, var_ref, scale_ref, r0_ref,
                       c0_ref, P, OBS):
-    """Painter-order stamp blend over out_ref[e] (stamp_kernel semantics:
-    per-live-stamp roll-into-place from the pre-padded f32 bank)."""
+    """Painter-order stamp blend over every env's frame block
+    (stamp_kernel semantics: per-live-stamp roll-into-place from the
+    pre-padded f32 bank). Slot-outer / env-inner like _kernel_blend:
+    each env's painter chain is a serialized read-modify-write sequence,
+    so interleaving E independent chains hides the roll/blend latency."""
     W = _win(P)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
@@ -46,33 +49,34 @@ def _blend_stamps_ref(out_ref, e, bank_ref, var_ref, scale_ref, r0_ref,
     K = var_ref.shape[1]
 
     def body(k, _):
-        s = scale_ref[e, k]
-        v = var_ref[e, k]
+        for e in range(E):
+            s = scale_ref[e, k]
+            v = var_ref[e, k]
 
-        @pl.when((s != 0.0) & (v >= 0) & (v < V))
-        def _():
-            rc = jnp.clip(r0_ref[e, k], -P, OBS)
-            cc = jnp.clip(c0_ref[e, k], -P, OBS)
-            base = jnp.clip((rc // 8) * 8, 0, OBS - W)
-            off = rc - base
-            buf = bank_ref[v]  # [4, W, LANES] f32, pre-padded
-            cc_roll = jnp.where(cc < 0, cc + LANES, cc)
-            off_roll = jnp.where(off < 0, off + W, off)
-            buf = pltpu.roll(buf, cc_roll, axis=2)
-            buf = pltpu.roll(buf, off_roll, axis=1)
-            mask = (
-                (lane >= cc) & (lane < cc + P) & (lane < OBS)
-                & (rowi >= off) & (rowi < off + P)
-            )
-            contrib = jnp.where(
-                mask, (buf * s).astype(jnp.bfloat16), jnp.bfloat16(0)
-            )[:, :, :OBS]
-            rows = pl.ds(pl.multiple_of(base, 8), W)
-            w = out_ref[e, :, rows, :]
-            a = contrib[3:4]
-            out_ref[e, :, rows, :] = (
-                w * (jnp.bfloat16(1.0) - a) + contrib[:3]
-            )
+            @pl.when((s != 0.0) & (v >= 0) & (v < V))
+            def _(e=e, s=s, v=v):
+                rc = jnp.clip(r0_ref[e, k], -P, OBS)
+                cc = jnp.clip(c0_ref[e, k], -P, OBS)
+                base = jnp.clip((rc // 8) * 8, 0, OBS - W)
+                off = rc - base
+                buf = bank_ref[v]  # [4, W, LANES] f32, pre-padded
+                cc_roll = jnp.where(cc < 0, cc + LANES, cc)
+                off_roll = jnp.where(off < 0, off + W, off)
+                buf = pltpu.roll(buf, cc_roll, axis=2)
+                buf = pltpu.roll(buf, off_roll, axis=1)
+                mask = (
+                    (lane >= cc) & (lane < cc + P) & (lane < OBS)
+                    & (rowi >= off) & (rowi < off + P)
+                )
+                contrib = jnp.where(
+                    mask, (buf * s).astype(jnp.bfloat16), jnp.bfloat16(0)
+                )[:, :, :OBS]
+                rows = pl.ds(pl.multiple_of(base, 8), W)
+                w = out_ref[e, :, rows, :]
+                a = contrib[3:4]
+                out_ref[e, :, rows, :] = (
+                    w * (jnp.bfloat16(1.0) - a) + contrib[:3]
+                )
 
         return 0
 
@@ -147,10 +151,10 @@ def _scene_kernel_raw(*refs, E, OBS, QP, PAD, entry_kind, entry_theme,
             else:
                 pl.when(th == tv)(blend_entry)
 
-        for g in range(ng):
-            var_ref, scale_ref, r0_ref, c0_ref = g_smem[g]
-            _blend_stamps_ref(out_ref, e, g_banks[g], var_ref, scale_ref,
-                              r0_ref, c0_ref, group_ps[g], OBS)
+    for g in range(ng):
+        var_ref, scale_ref, r0_ref, c0_ref = g_smem[g]
+        _blend_stamps_ref(out_ref, E, g_banks[g], var_ref, scale_ref,
+                          r0_ref, c0_ref, group_ps[g], OBS)
 
 
 @functools.partial(
@@ -273,10 +277,10 @@ def _scene_kernel(*refs, E, OBS, entry_kind, entry_theme, group_ps):
             else:
                 pl.when(th == tv)(blend_entry)
 
-        for g in range(ng):
-            var_ref, scale_ref, r0_ref, c0_ref = g_smem[g]
-            _blend_stamps_ref(out_ref, e, g_banks[g], var_ref, scale_ref,
-                              r0_ref, c0_ref, group_ps[g], OBS)
+    for g in range(ng):
+        var_ref, scale_ref, r0_ref, c0_ref = g_smem[g]
+        _blend_stamps_ref(out_ref, E, g_banks[g], var_ref, scale_ref,
+                          r0_ref, c0_ref, group_ps[g], OBS)
 
 
 @functools.partial(

@@ -69,14 +69,17 @@ def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
     for e in range(E):
         out_ref[e] = jnp.zeros_like(out_ref[e])
 
-        def body(k, _):
+    # slot-outer / env-inner (see _kernel_blend): E independent
+    # accumulation chains per iteration hide the roll latency
+    def body(k, _):
+        for e in range(E):
             s = scale_ref[e, k]
             v = var_ref[e, k]
 
             # Out-of-range variants contribute nothing — same semantics
             # as the matmul path's one-hot select (zero patch).
             @pl.when((s != 0.0) & (v >= 0) & (v < V))
-            def _():
+            def _(e=e, s=s, v=v):
                 rc = jnp.clip(r0_ref[e, k], -P, OBS)
                 cc = jnp.clip(c0_ref[e, k], -P, OBS)
                 # Tile-aligned W-row store window fully inside the
@@ -106,9 +109,9 @@ def _kernel(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, out_ref,
                 rows = pl.ds(pl.multiple_of(base, 8), W)
                 out_ref[e, :, rows, :] = out_ref[e, :, rows, :] + contrib
 
-            return 0
+        return 0
 
-        jax.lax.fori_loop(0, K, body, 0)
+    jax.lax.fori_loop(0, K, body, 0)
 
 
 def _kernel_blend(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, img_ref,
@@ -126,12 +129,17 @@ def _kernel_blend(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, img_ref,
     for e in range(E):
         out_ref[e] = img_ref[e]
 
-        def body(k, _):
+    # slot-outer / env-inner: the E envs' painter chains are strictly
+    # serialized read-modify-write sequences on their own frame blocks;
+    # interleaving them gives the scheduler E independent dependency
+    # chains per iteration to hide the roll/blend latency in
+    def body(k, _):
+        for e in range(E):
             s = scale_ref[e, k]
             v = var_ref[e, k]
 
             @pl.when((s != 0.0) & (v >= 0) & (v < V))
-            def _():
+            def _(e=e, s=s, v=v):
                 rc = jnp.clip(r0_ref[e, k], -P, OBS)
                 cc = jnp.clip(c0_ref[e, k], -P, OBS)
                 base = jnp.clip((rc // 8) * 8, 0, OBS - W)
@@ -155,9 +163,9 @@ def _kernel_blend(var_ref, scale_ref, r0_ref, c0_ref, bank_ref, img_ref,
                     w * (jnp.bfloat16(1.0) - a) + contrib[:3]
                 )
 
-            return 0
+        return 0
 
-        jax.lax.fori_loop(0, K, body, 0)
+    jax.lax.fori_loop(0, K, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("obs", "interpret"))

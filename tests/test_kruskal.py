@@ -70,3 +70,21 @@ def test_masked_uniform_cell_respects_mask():
         picks.add((int(i), int(j)))
     assert picks <= {(2, 3), (4, 1)}
     assert len(picks) == 2
+
+
+def test_boruvka_matches_kruskal_bitwise():
+    """Boruvka on the permutation-rank weights must carve the IDENTICAL
+    wall set as sequential random-order Kruskal (the accepted set is the
+    unique MST of the room graph under those weights) — key for key,
+    dim for dim, including non-square-capacity padding."""
+    from procgen2_tpu.gen.kruskal import boruvka_maze
+
+    for max_dim in (15, 31):
+        kf = jax.jit(lambda k, d, md=max_dim: kruskal_maze(k, d, max_dim=md))
+        bf = jax.jit(lambda k, d, md=max_dim: boruvka_maze(k, d, max_dim=md))
+        for seed in range(6):
+            for dim in (3, max_dim // 2 + 1 | 1, max_dim):
+                k = jax.random.key(seed * 131 + dim)
+                a = np.asarray(kf(k, jnp.int32(dim)))
+                b = np.asarray(bf(k, jnp.int32(dim)))
+                np.testing.assert_array_equal(a, b)
