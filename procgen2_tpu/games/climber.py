@@ -36,6 +36,8 @@ from ..physics.tiles import resolve_tile_collisions, NONE, FULL
 from ..physics.aabb import check_collision
 from ..render import atlas as atlas_lib
 from ..render import compositor as C
+from ..render import phases as phases_lib
+from ..render import scene_kernel
 
 NAME = "climber"
 NUM_ACTIONS = 15
@@ -77,6 +79,9 @@ _LUT_WALL = np.array([NONE, FULL, FULL], np.int32)
 @dataclasses.dataclass(frozen=True)
 class Config:
     easy_mode: bool = False  # enemy_prob .2 vs .5, tilemap.cpp:118
+    # Render-only camera phase quantization for the fused scene kernel
+    # (render/phases.py); 0 = exact continuous camera (slow path).
+    scene_phases: int = 4
 
 
 @struct.dataclass
@@ -421,7 +426,8 @@ def observe(cfg: Config, state: State):
     img = C.clear()
     img = C.draw_background(img, jnp.asarray(A["bgs_p"]), level.bg_index, wx, wy)
     lut = jnp.asarray(A["tile_lut"])[level.theme]
-    img = C.draw_tiles(img, level.grid, lut, A["atlas_p"], wx, wy, oob_tile=EMPTY)
+    img = C.draw_tiles(img, level.grid, lut, A["atlas_p"], wx, wy,
+                       oob_tile=WALL_MID)  # tilemap.h:66-69: OOB is wall
 
     # Crystals (z=1, offset (-0.5,-0.5), 1x1 — tilemap.cpp:68-69)
     live = level.point_exists & ~state.point_taken
@@ -488,12 +494,140 @@ def _stamp_banks():
     return dict(moving=moving, agent=agent)
 
 
+@functools.lru_cache(maxsize=None)
+def _scene_assets(qp):
+    """Tile-entry phase bank + padded content for the fused scene
+    kernel (render/scene_kernel.py; see coinrun._scene_assets). The
+    0.2-zoom camera shows ~20 tiles, so the window span comes from
+    phases.win (21 at qp=4) rather than the default 16."""
+    A = _assets()
+    atlas_s = np.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)
+    idx = A["idx"]
+    texs, kinds, themes = [], [], []
+    for t, th in enumerate(atlas_lib.CLIMBER_TILE_THEMES):
+        texs += [atlas_s[idx[f"ctile_top_{th}"]],
+                 atlas_s[idx[f"ctile_mid_{th}"]]]
+        kinds += [WALL_TOP, WALL_MID]
+        themes += [t, t]
+    bank = phases_lib.tile_phase_bank(np.stack(texs), PPU, 64, qp)
+    W = phases_lib.win(PPU, 64, qp)
+    GP = MAP_H + 2 * W  # square pad covers the tall axis; x never OOB
+    bgs = np.asarray(A["bgs_p"])  # [3, NB, 64, 64]
+    bgpad = np.zeros((NUM_BGS, 3, GP, GP), np.uint8)
+    n = min(64, GP - W)
+    bgpad[:, :, W:W + n, W:W + n] = bgs.transpose(1, 0, 2, 3)[:, :, :n, :n]
+    TR, _, _ = phases_lib.phase_tables(PPU, 64, qp)
+    return dict(bank=bank, kinds=tuple(kinds), themes=tuple(themes),
+                bgpad=bgpad, TRtab=TR[:, None, :].astype(np.int32), win=W)
+
+
+def _observe_scene(cfg: Config, states: State):
+    """Quantized-camera scene path (see coinrun._observe_scene): bg +
+    themed walls + one merged crystal/mob/agent stamp group in a single
+    Pallas pass. The x camera is FIXED at map center (climber.cpp:464),
+    so only the y phase varies per env."""
+    A = _assets()
+    banks = _stamp_banks()
+    qp = cfg.scene_phases
+    SA = _scene_assets(qp)
+    level = states.level
+    N = states.pos.shape[0]
+    W = SA["win"]
+
+    cam_x = jnp.full((N,), MAP_W / 2.0, jnp.float32)  # climber.cpp:464
+    my = jnp.round((states.pos[:, 1] - 8.5) * qp).astype(jnp.int32)
+    cam_y = my.astype(jnp.float32) / qp
+    mx = jnp.round(cam_x * qp).astype(jnp.int32)
+    jx = jnp.mod(mx, qp)
+    jy = jnp.mod(my, qp)
+    _, _, t0_off = phases_lib.phase_tables(PPU, 64, qp)
+    tx0 = jnp.floor(cam_x + jnp.float32(t0_off)).astype(jnp.int32)
+    ty0 = jnp.floor(cam_y + jnp.float32(t0_off)).astype(jnp.int32)
+
+    GP = MAP_H + 2 * W
+    gridp = jnp.pad(
+        level.grid, ((0, 0), (W, W), (W, GP - W - MAP_W)),
+        constant_values=WALL_MID)  # tilemap.h:66-69: OOB is wall
+
+    def pix(centers, P):
+        px = (centers[..., 0] - cam_x[:, None]) * PPU + C.OBS / 2
+        py = (centers[..., 1] - cam_y[:, None]) * PPU + C.OBS / 2
+        return (jnp.round(py - P / 2).astype(jnp.int32),
+                jnp.round(px - P / 2).astype(jnp.int32))
+
+    live = level.point_exists & ~states.point_taken
+    mob_frame = ((states.t // 5) % 2).astype(jnp.int32)
+    mob_flip = (states.mob_vx < 0.0).astype(jnp.int32)
+    mob_var = 1 + mob_frame[:, None] * 2 + mob_flip
+    crys_var = jnp.zeros((N, MAX_POINTS), jnp.int32)
+    pose = jnp.where(
+        (jnp.abs(states.vel[:, 0]) < 0.01) & states.on_ground, 0,
+        jnp.where(~states.on_ground, 1,
+                  jnp.where(states.anim_t > 0.5, 3, 2)),
+    ).astype(jnp.int32)
+    n_mv = banks["moving"].shape[0]
+    avar = (n_mv + level.agent_theme.astype(jnp.int32) * 8 + pose * 2
+            + (~states.face_forward).astype(jnp.int32))[:, None]
+    acenter = jnp.stack(
+        [states.pos[:, 0] - 0.1, states.pos[:, 1] - 0.45], axis=-1
+    )[:, None, :]
+    centers = jnp.concatenate(
+        [level.point_pos, states.mob_pos + 0.1, acenter], axis=1)
+    vars_ = jnp.concatenate([crys_var, mob_var, avar], axis=1)
+    alives = jnp.concatenate(
+        [live, level.mob_alive, jnp.ones((N, 1), bool)], axis=1)
+    r0, c0 = pix(centers, 8)
+
+    merged_bank = np.concatenate(
+        [np.asarray(banks["moving"]), np.asarray(banks["agent"])], axis=0)
+    groups = [(C._premultiply_bank(merged_bank), vars_,
+               alives.astype(jnp.float32), r0, c0)]
+    theme = level.theme.astype(jnp.int32)
+    bg_i = level.bg_index.astype(jnp.int32)
+    tb = jnp.asarray(SA["bank"])
+    if C._use_stamp_kernel():
+        img = scene_kernel.scene_tpu_raw(
+            gridp, ty0, tx0, jy, jx, bg_i, theme, SA["bgpad"],
+            SA["TRtab"], tb, SA["kinds"], SA["themes"],
+            groups, C.OBS, qp, W)
+    else:
+        gwin = jax.vmap(
+            lambda g, y, x: jax.lax.dynamic_slice(g, (y + W, x + W), (W, W))
+        )(gridp, ty0, tx0)
+        bgpad = jnp.asarray(SA["bgpad"])
+        bgwin = jax.vmap(
+            lambda b, y, x: jax.lax.dynamic_slice(
+                bgpad, (b, 0, y + W, x + W), (1, 3, W, W))[0]
+        )(bg_i, ty0, tx0)
+        win_c = jnp.concatenate(
+            [gwin[:, None].astype(jnp.bfloat16),
+             bgwin.astype(jnp.bfloat16)], 1)
+        EyTab, ExTab = phases_lib.expansion_tables(PPU, 64, qp)
+        Ey = jnp.asarray(EyTab, jnp.bfloat16)[jy]
+        Ex = jnp.asarray(ExTab, jnp.bfloat16)[jx]
+        rows = jnp.einsum("nri,ncij->ncrj", Ey, win_c,
+                          preferred_element_type=jnp.bfloat16)
+        X = jnp.einsum("ncrj,nju->ncru", rows, Ex,
+                       preferred_element_type=jnp.bfloat16)
+        img = scene_kernel.scene_reference(
+            X, jy * qp + jx, theme, tb, SA["kinds"], SA["themes"],
+            groups, C.OBS)
+    return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+
+
 def observe_batch(cfg: Config, states: State):
-    """Batched renderer: same scene as `observe`, composed with shared
-    batched matmuls (tile kinds) + pixel-snapped stamps (sprites) instead
-    of per-env draw calls. Differences vs the per-env path are stamp
-    pixel snapping (<=1 px) and additive blending of overlapping stamps.
+    """Batched renderer: same scene as `observe` via the fused scene
+    kernel at obs resolution (quantized render camera), or shared
+    batched matmuls + pixel-snapped stamps otherwise. Differences vs the
+    per-env path are stamp pixel snapping (<=1 px), additive blending of
+    overlapping stamps, and the <= 0.6 px camera quantization.
     """
+    if C.OBS == 64 and cfg.scene_phases > 0:
+        return _observe_scene(cfg, states)
+    return _observe_exact(cfg, states)
+
+
+def _observe_exact(cfg: Config, states: State):
     A = _assets()
     banks = _stamp_banks()
     level = states.level
@@ -516,7 +650,11 @@ def observe_batch(cfg: Config, states: State):
     G = jnp.einsum("nrw,nuw->nru", G, ohx,
                    preferred_element_type=jnp.bfloat16)
     G = jnp.where(inb, jnp.round(G),
-                  jnp.float32(EMPTY)).astype(jnp.int8)[:, None]
+                  jnp.float32(WALL_MID)).astype(jnp.int8)[:, None]
+    # tilemap.h:66-69: "Out of bounds is a wall" — the reference paints
+    # themed wall_mid above/below the 64-row map (the fixed-x camera
+    # keeps the sides in bounds; the same rule fixed jumper's frame
+    # parity, games/jumper.py)
 
     atlas_s = jnp.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)  # [A, 4, S, S]
     tl = jnp.asarray(A["tile_lut"])

@@ -44,6 +44,8 @@ from ..physics.tiles import resolve_tile_collisions, NONE, FULL
 from ..physics.aabb import check_collision
 from ..render import atlas as atlas_lib
 from ..render import compositor as C
+from ..render import phases as phases_lib
+from ..render import scene_kernel
 
 NAME = "jumper"
 NUM_ACTIONS = 15
@@ -79,6 +81,9 @@ _LUT_WALL = np.array([NONE, FULL, FULL, NONE], np.int32)
 @dataclasses.dataclass(frozen=True)
 class Config:
     mode: str = "easy"  # tilemap.h default (easy world_dim 20)
+    # Render-only camera phase quantization for the fused scene kernel
+    # (render/phases.py); 0 = exact continuous camera (slow path).
+    scene_phases: int = 4
 
     @property
     def world_dim(self):
@@ -665,16 +670,178 @@ def _compass_overlay(obs: int):
     return rgbp.transpose(2, 0, 1)[None], a.transpose(2, 0, 1)[None]
 
 
+@functools.lru_cache(maxsize=None)
+def _scene_assets(qp, D):
+    """Tile-entry phase bank + padded content for the fused scene
+    kernel (render/scene_kernel.py; see coinrun._scene_assets)."""
+    A = _assets()
+    atlas_s = np.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)
+    idx = A["idx"]
+    texs, kinds, themes = [], [], []
+    for t, th in enumerate(atlas_lib.CLIMBER_TILE_THEMES):
+        texs += [atlas_s[idx[f"ctile_top_{th}"]],
+                 atlas_s[idx[f"ctile_mid_{th}"]]]
+        kinds += [WALL_TOP, WALL_MID]
+        themes += [t, t]
+    texs.append(atlas_s[idx["spikeman"]])
+    kinds.append(SPIKE)
+    themes.append(-1)
+    bank = phases_lib.tile_phase_bank(np.stack(texs), PPU, 64, qp)
+    P = phases_lib.WIN
+    GP = D + 2 * P
+    bgs = np.asarray(A["bgs_p"])  # [3, NB, 64, 64]
+    bgpad = np.zeros((NUM_BGS, 3, GP, GP), np.uint8)
+    n = min(64, GP - P)
+    bgpad[:, :, P:P + n, P:P + n] = bgs.transpose(1, 0, 2, 3)[:, :, :n, :n]
+    TR, _, _ = phases_lib.phase_tables(PPU, 64, qp)
+    return dict(bank=bank, kinds=tuple(kinds), themes=tuple(themes),
+                bgpad=bgpad, TRtab=TR[:, None, :].astype(np.int32))
+
+
+def _observe_scene(cfg: Config, states: State):
+    """Quantized-camera scene path (see coinrun._observe_scene): bg +
+    themed walls + spikes + particle/carrot and bunny stamp groups run
+    in one Pallas pass; the compass overlay + rotated needle follow in
+    XLA/stamp-kernel space. One z deviation vs the exact path: spikes
+    come from the tile layer, so dust particles draw OVER spike cells
+    instead of under (visible only when dust drifts onto a spike)."""
+    A = _assets()
+    banks = _stamp_banks()
+    qp = cfg.scene_phases
+    D = cfg.world_dim
+    SA = _scene_assets(qp, D)
+    level = states.level
+    N = states.pos.shape[0]
+    W = phases_lib.WIN
+
+    mx = jnp.round(states.pos[:, 0] * qp).astype(jnp.int32)
+    my = jnp.round((states.pos[:, 1] - 0.5) * qp).astype(jnp.int32)
+    cam_x = mx.astype(jnp.float32) / qp
+    cam_y = my.astype(jnp.float32) / qp
+    jx = jnp.mod(mx, qp)
+    jy = jnp.mod(my, qp)
+    _, _, t0_off = phases_lib.phase_tables(PPU, 64, qp)
+    tx0 = jnp.floor(cam_x + jnp.float32(t0_off)).astype(jnp.int32)
+    ty0 = jnp.floor(cam_y + jnp.float32(t0_off)).astype(jnp.int32)
+
+    merged = jnp.where(level.spike_grid, jnp.int8(SPIKE), level.grid)
+    gridp = jnp.pad(merged, ((0, 0), (W, W), (W, W)),
+                    constant_values=WALL_MID)  # OOB is wall, tilemap.h:84-87
+
+    def pix(centers, P):
+        px = (centers[..., 0] - cam_x[:, None]) * PPU + C.OBS / 2
+        py = (centers[..., 1] - cam_y[:, None]) * PPU + C.OBS / 2
+        return (jnp.round(py - P / 2).astype(jnp.int32),
+                jnp.round(px - P / 2).astype(jnp.int32))
+
+    # particles + carrot share the "moving" bank and are z-adjacent
+    ratio = jnp.clip(
+        (PART_LIFESPAN - states.part_life) / PART_LIFESPAN, 0.0, 1.0)
+    pvar = 1 + jnp.clip(
+        (ratio * PART_BINS).astype(jnp.int32), 0, PART_BINS - 1)
+    pcenter = jnp.stack(
+        [states.part_pos[..., 0], states.part_pos[..., 1] - ratio * 0.17],
+        axis=-1)
+    pscale = (states.part_life > 0.0) * (0.5 * (1.0 - ratio))
+    centers = jnp.concatenate([pcenter, level.goal_pos[:, None, :]], axis=1)
+    vars_ = jnp.concatenate([pvar, jnp.zeros((N, 1), jnp.int32)], axis=1)
+    scales = jnp.concatenate(
+        [pscale.astype(jnp.float32), jnp.ones((N, 1), jnp.float32)], axis=1)
+    r0, c0 = pix(centers, 8)
+
+    pose = jnp.where(
+        (jnp.abs(states.vel[:, 0]) < 0.01) & states.on_ground, 0,
+        jnp.where(~states.on_ground, 1,
+                  jnp.where(states.anim_t > 0.5, 3, 2)),
+    ).astype(jnp.int32)
+    bvar = (pose * 2 + (~states.face_forward).astype(jnp.int32))[:, None]
+    bscale = jnp.where(pose == 1, 0.6, 0.5)
+    off_x = jnp.where(pose == 1, -0.05, 0.0)
+    off_y = jnp.where(pose == 1, 0.25, 0.2)
+    bcenter = jnp.stack(
+        [states.pos[:, 0] - 0.25 + off_x + bscale * 0.5,
+         states.pos[:, 1] - 1.0 + off_y + bscale * 1.33 * 0.5], axis=-1
+    )[:, None, :]
+    br0, bc0 = pix(bcenter, 8)
+
+    groups = [
+        (C._premultiply_bank(banks["moving"]), vars_, scales, r0, c0),
+        (C._premultiply_bank(banks["bunny"]), bvar,
+         jnp.ones((N, 1), jnp.float32), br0, bc0),
+    ]
+    theme = level.theme.astype(jnp.int32)
+    bg_i = level.bg_index.astype(jnp.int32)
+    tb = jnp.asarray(SA["bank"])
+    if C._use_stamp_kernel():
+        img = scene_kernel.scene_tpu_raw(
+            gridp, ty0, tx0, jy, jx, bg_i, theme, SA["bgpad"],
+            SA["TRtab"], tb, SA["kinds"], SA["themes"],
+            groups, C.OBS, qp, W)
+    else:
+        gwin = jax.vmap(
+            lambda g, y, x: jax.lax.dynamic_slice(g, (y + W, x + W), (W, W))
+        )(gridp, ty0, tx0)
+        bgpad = jnp.asarray(SA["bgpad"])
+        bgwin = jax.vmap(
+            lambda b, y, x: jax.lax.dynamic_slice(
+                bgpad, (b, 0, y + W, x + W), (1, 3, W, W))[0]
+        )(bg_i, ty0, tx0)
+        win = jnp.concatenate(
+            [gwin[:, None].astype(jnp.bfloat16),
+             bgwin.astype(jnp.bfloat16)], 1)
+        EyTab, ExTab = phases_lib.expansion_tables(PPU, 64, qp)
+        Ey = jnp.asarray(EyTab, jnp.bfloat16)[jy]
+        Ex = jnp.asarray(ExTab, jnp.bfloat16)[jx]
+        rows = jnp.einsum("nri,ncij->ncrj", Ey, win,
+                          preferred_element_type=jnp.bfloat16)
+        X = jnp.einsum("ncrj,nju->ncru", rows, Ex,
+                       preferred_element_type=jnp.bfloat16)
+        img = scene_kernel.scene_reference(
+            X, jy * qp + jx, theme, tb, SA["kinds"], SA["themes"],
+            groups, C.OBS)
+
+    # ---- compass HUD (screen space, jumper.cpp:473-509) ----
+    crgb_np, ca_np = _compass_overlay(C.OBS)
+    img = img * (1.0 - jnp.asarray(ca_np, jnp.bfloat16)) \
+        + jnp.asarray(crgb_np, jnp.bfloat16)
+
+    cs = 200.0 * ZOOM
+    offx, offy = -32.0 * ZOOM, 32.0 * ZOOM
+    to_goal = level.goal_pos - states.pos
+    dist = jnp.sqrt(to_goal[:, 0] ** 2 + to_goal[:, 1] ** 2)
+    dinv = 1.0 / jnp.maximum(1e-4, dist)
+    dirx, diry = to_goal[:, 0] * dinv, to_goal[:, 1] * dinv
+    angle = jnp.arctan2(to_goal[:, 1], to_goal[:, 0])
+    nvar = jnp.mod(
+        jnp.round(angle * (NEEDLE_BINS / (2 * np.pi))).astype(jnp.int32),
+        NEEDLE_BINS,
+    )[:, None]
+    ncx = C.OBS - cs * 0.75 + offx + cs * 0.25 * dirx + cs * 0.25
+    ncy = cs * 0.5 + offy + cs * 0.25 * diry + cs * 0.05
+    nr0 = jnp.round(ncy - 16.0).astype(jnp.int32)[:, None]
+    nc0 = jnp.round(ncx - 16.0).astype(jnp.int32)[:, None]
+    img = C.composite_stamps(img, banks["needle"], nvar, nr0, nc0)
+
+    obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    return obs  # planar u8 [N, 3, OBS, OBS]
+
+
 def observe_batch(cfg: Config, states: State):
-    """Batched renderer: same scene as `observe` via shared batched
-    matmuls + pixel-snapped stamps. Approximations vs the per-env path:
-    stamp pixel snapping (<=1 px), particle size / needle angle
-    quantization (PART_BINS / NEEDLE_BINS), additive blending of
-    overlapping stamps, and spikes composited from the merged tile grid
-    (under the dust particles instead of over — visible only when dust
-    drifts onto a spike cell). The distance bar is omitted: its obs-space
-    y (69.6 px) is off the 64-px frame entirely (jumper.cpp:503-509
-    quirk; the window-size path goes through `observe`)."""
+    """Batched renderer: same scene as `observe` via the fused scene
+    kernel at obs resolution (quantized render camera), or shared
+    batched matmuls + pixel-snapped stamps otherwise. Approximations vs
+    the per-env path: stamp pixel snapping (<=1 px), particle size /
+    needle angle quantization (PART_BINS / NEEDLE_BINS), additive
+    blending of overlapping stamps. The distance bar is omitted: its
+    obs-space y (69.6 px) is off the 64-px frame entirely
+    (jumper.cpp:503-509 quirk; the window-size path goes through
+    `observe`)."""
+    if C.OBS == 64 and cfg.scene_phases > 0:
+        return _observe_scene(cfg, states)
+    return _observe_exact(cfg, states)
+
+
+def _observe_exact(cfg: Config, states: State):
     A = _assets()
     banks = _stamp_banks()
     level = states.level

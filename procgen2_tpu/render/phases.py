@@ -48,7 +48,8 @@ import numpy as np
 from .atlas import SPRITE_SIZE
 
 S = SPRITE_SIZE
-WIN = 16  # tile-window size: covers OBS/ppu <= 14 visible tiles + phase
+WIN = 16  # tile-window size for ppu >= 4.8 games (<= 14 visible tiles
+#           + phase); wider views compute their own via `win()`
 
 
 def _frac_ppu(ppu: float) -> Fraction:
@@ -81,8 +82,15 @@ def phase_tables(ppu: float, obs: int = 64, qp: int = 4):
             t = wx.__floor__()
             TR[j, c] = t - t0
             VV[j, c] = ((wx - t) * S).__floor__()
-    assert TR.max() < WIN, (ppu, obs, qp, TR.max())
     return TR, VV, float(t0_off)
+
+
+@functools.lru_cache(maxsize=None)
+def win(ppu: float, obs: int = 64, qp: int = 4) -> int:
+    """Tile-window span for this camera: the number of tile rows any
+    phase can touch (= grid pad width for the scene kernel)."""
+    TR, _, _ = phase_tables(ppu, obs, qp)
+    return int(TR.max()) + 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -91,9 +99,10 @@ def expansion_tables(ppu: float, obs: int = 64, qp: int = 4):
     ExTab f32 [qp, WIN, obs]). X = Ey[jy] @ win @ Ex[jx] lifts a
     WIN x WIN tile-resolution window to pixel resolution."""
     TR, _, _ = phase_tables(ppu, obs, qp)
-    eye = np.eye(WIN, dtype=np.float32)
-    EyTab = eye[TR]  # [qp, obs, WIN]
-    ExTab = np.swapaxes(EyTab, 1, 2).copy()  # [qp, WIN, obs]
+    W = max(WIN, int(TR.max()) + 1)
+    eye = np.eye(W, dtype=np.float32)
+    EyTab = eye[TR]  # [qp, obs, W]
+    ExTab = np.swapaxes(EyTab, 1, 2).copy()  # [qp, W, obs]
     return EyTab, ExTab
 
 

@@ -169,7 +169,7 @@ def _scene_raw(grid_pad, ty0, tx0, jy, jx, bg_i, theme, bg_bank, tr_tab,
     GP = grid_pad.shape[1]
     NB = bg_bank.shape[0]
     NPH, NE = tile_bank.shape[:2]
-    E = next(e for e in (8, 4, 2, 1) if N % e == 0)
+    E = next(e for e in (16, 8, 4, 2, 1) if N % e == 0)
     grid = (N // E,)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     svec = lambda: smem((E, 1), lambda i: (i, 0))  # noqa: E731
@@ -291,7 +291,7 @@ def _scene(X, p_joint, theme, tile_bank, entry_kind, entry_theme,
            groups, obs, interpret=False):
     N = X.shape[0]
     NPH, NE = tile_bank.shape[:2]
-    E = next(e for e in (8, 4, 2, 1) if N % e == 0)
+    E = next(e for e in (16, 8, 4, 2, 1) if N % e == 0)
     grid = (N // E,)
     smem = functools.partial(
         pl.BlockSpec, memory_space=pltpu.SMEM

@@ -174,7 +174,7 @@ def _composite(bank, var_idx, scale, r0, c0, img, obs, interpret=False):
     V = bank.shape[0]
     P = bank.shape[-1]
     W = _win(P)
-    E = next(e for e in (8, 4, 2, 1) if N % e == 0)
+    E = next(e for e in (16, 8, 4, 2, 1) if N % e == 0)
     grid = (N // E,)
     smem = functools.partial(
         pl.BlockSpec, (E, K), lambda i: (i, 0), memory_space=pltpu.SMEM
@@ -226,7 +226,7 @@ def _stamps(bank, var_idx, scale, r0, c0, obs, interpret=False):
     V = bank.shape[0]
     P = bank.shape[-1]
     W = _win(P)
-    E = next(e for e in (8, 4, 2, 1) if N % e == 0)
+    E = next(e for e in (16, 8, 4, 2, 1) if N % e == 0)
     grid = (N // E,)
     smem = functools.partial(
         pl.BlockSpec, (E, K), lambda i: (i, 0), memory_space=pltpu.SMEM

