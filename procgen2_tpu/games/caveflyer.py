@@ -50,6 +50,8 @@ from ..physics.tiles import probe_any_solid, resolve_tile_collisions, NONE, FULL
 from ..physics.aabb import check_collision
 from ..render import atlas as atlas_lib
 from ..render import compositor as C
+from ..render import phases as phases_lib
+from ..render import scene_kernel
 
 NAME = "caveflyer"
 NUM_ACTIONS = 15
@@ -81,6 +83,9 @@ _LUT_WALL = np.array([NONE, FULL], np.int32)  # wall -> full
 @dataclasses.dataclass(frozen=True)
 class Config:
     mode: str = "easy"
+    # Render-only camera phase quantization for the fused scene kernel
+    # (render/phases.py); 0 = exact continuous camera (slow path).
+    scene_phases: int = 4
 
     @property
     def world_dim(self):
@@ -698,6 +703,25 @@ def _stamp_banks():
                 part=part_bank)
 
 
+@functools.lru_cache(maxsize=None)
+def _scene_assets(qp, D):
+    """Single-kind tile phase bank + padded content for the fused scene
+    kernel (render/scene_kernel.py; see coinrun._scene_assets)."""
+    A = _assets()
+    atlas_s = np.asarray(A["atlas_p"]).transpose(1, 0, 2, 3)
+    tex = atlas_s[A["idx"]["cave_wall"]][None]
+    bank = phases_lib.tile_phase_bank(tex, PPU, 64, qp)
+    W = phases_lib.win(PPU, 64, qp)
+    GP = D + 2 * W
+    bgs = np.asarray(A["bgs_p"])  # [3, NB, 64, 64]
+    bgpad = np.zeros((bgs.shape[1], 3, GP, GP), np.uint8)
+    n = min(64, GP - W)
+    bgpad[:, :, W:W + n, W:W + n] = bgs.transpose(1, 0, 2, 3)[:, :, :n, :n]
+    TR, _, _ = phases_lib.phase_tables(PPU, 64, qp)
+    return dict(bank=bank, kinds=(1,), themes=(-1,),
+                bgpad=bgpad, TRtab=TR[:, None, :].astype(np.int32), win=W)
+
+
 def observe_batch(cfg: Config, states: State):
     A = _assets()
     banks = _stamp_banks()
@@ -706,17 +730,40 @@ def observe_batch(cfg: Config, states: State):
     N = states.pos.shape[0]
     cam = states.pos  # camera follows the ship (caveflyer.cpp:452-453)
 
-    c = jnp.arange(C.OBS, dtype=jnp.float32) + 0.5 - C.OBS / 2
-    wx_b = cam[:, 0:1] + c[None, :] / PPU
-    wy_b = cam[:, 1:2] + c[None, :] / PPU
+    use_scene = C.OBS == 64 and cfg.scene_phases > 0
+    if use_scene:
+        # quantized render camera (<= 0.6 px; see coinrun._observe_scene)
+        qp = cfg.scene_phases
+        mx = jnp.round(cam[:, 0] * qp).astype(jnp.int32)
+        my = jnp.round(cam[:, 1] * qp).astype(jnp.int32)
+        cam = jnp.stack([mx.astype(jnp.float32) / qp,
+                         my.astype(jnp.float32) / qp], axis=-1)
+        scene_groups = []
 
-    img = C.draw_background_batch(
-        jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32), wx_b, wy_b
-    )
-    img = C.draw_tiles_batch(
-        img, level.wall.astype(jnp.int8), A["lut"], A["atlas_p"],
-        wx_b, wy_b, oob_tile=0,
-    )
+        def blend_or_queue(img, bank, var, centers, alives=None, alpha=None):
+            P = bank.shape[-1]
+            r0, c0 = pix(centers, P)
+            K = var.shape[1]
+            scale = jnp.ones((N, K), jnp.float32)
+            if alives is not None:
+                scale = scale * alives.astype(jnp.float32)
+            if alpha is not None:
+                scale = scale * jnp.asarray(alpha, jnp.float32)
+            scene_groups.append(
+                (C._premultiply_bank(bank), var, scale, r0, c0))
+            return img
+    else:
+        c = jnp.arange(C.OBS, dtype=jnp.float32) + 0.5 - C.OBS / 2
+        wx_b = cam[:, 0:1] + c[None, :] / PPU
+        wy_b = cam[:, 1:2] + c[None, :] / PPU
+        img = C.draw_background_batch(
+            jnp.asarray(A["bgs_p"]), level.bg_index.astype(jnp.int32),
+            wx_b, wy_b
+        )
+        img = C.draw_tiles_batch(
+            img, level.wall.astype(jnp.int8), A["lut"], A["atlas_p"],
+            wx_b, wy_b, oob_tile=0,
+        )
 
     def pix(centers, P):
         """[N, K, 2] world centers -> (r0, c0) patch origins."""
@@ -725,11 +772,15 @@ def observe_batch(cfg: Config, states: State):
         return (jnp.round(py - P / 2).astype(jnp.int32),
                 jnp.round(px - P / 2).astype(jnp.int32))
 
-    def blend(img, bank, var, centers, alives=None, alpha=None):
-        P = bank.shape[-1]
-        r0, c0 = pix(centers, P)
-        return C.composite_stamps(img, bank, var, r0, c0,
-                                  alives=alives, alpha=alpha)
+    if use_scene:
+        blend = blend_or_queue
+        img = None
+    else:
+        def blend(img, bank, var, centers, alives=None, alpha=None):
+            P = bank.shape[-1]
+            r0, c0 = pix(centers, P)
+            return C.composite_stamps(img, bank, var, r0, c0,
+                                      alives=alives, alpha=alpha)
 
     # thrust particles (before sprites, caveflyer.cpp:437)
     ratio = jnp.clip(
@@ -791,6 +842,50 @@ def observe_batch(cfg: Config, states: State):
     )
     # draw offset (-0.464, -0.352) vs half-size (0.464, 0.3515): center=pos
     img = blend(img, banks["ship"], sbin2[:, None], states.pos[:, None, :])
+
+    if use_scene:
+        D = cfg.world_dim
+        SA = _scene_assets(qp, D)
+        W = SA["win"]
+        jx = jnp.mod(mx, qp)
+        jy = jnp.mod(my, qp)
+        _, _, t0_off = phases_lib.phase_tables(PPU, 64, qp)
+        tx0 = jnp.floor(cam[:, 0] + jnp.float32(t0_off)).astype(jnp.int32)
+        ty0 = jnp.floor(cam[:, 1] + jnp.float32(t0_off)).astype(jnp.int32)
+        GP = D + 2 * W
+        gridp = jnp.pad(level.wall.astype(jnp.int8),
+                        ((0, 0), (W, W), (W, W)), constant_values=0)
+        theme = jnp.zeros((N,), jnp.int32)
+        bg_i = level.bg_index.astype(jnp.int32)
+        tb = jnp.asarray(SA["bank"])
+        if C._use_stamp_kernel():
+            img = scene_kernel.scene_tpu_raw(
+                gridp, ty0, tx0, jy, jx, bg_i, theme, SA["bgpad"],
+                SA["TRtab"], tb, SA["kinds"], SA["themes"],
+                scene_groups, C.OBS, qp, W)
+        else:
+            gwin = jax.vmap(
+                lambda g, y, x: jax.lax.dynamic_slice(
+                    g, (y + W, x + W), (W, W))
+            )(gridp, ty0, tx0)
+            bgpad = jnp.asarray(SA["bgpad"])
+            bgwin = jax.vmap(
+                lambda b, y, x: jax.lax.dynamic_slice(
+                    bgpad, (b, 0, y + W, x + W), (1, 3, W, W))[0]
+            )(bg_i, ty0, tx0)
+            win_c = jnp.concatenate(
+                [gwin[:, None].astype(jnp.bfloat16),
+                 bgwin.astype(jnp.bfloat16)], 1)
+            EyTab, ExTab = phases_lib.expansion_tables(PPU, 64, qp, win_size=W)
+            Ey = jnp.asarray(EyTab, jnp.bfloat16)[jy]
+            Ex = jnp.asarray(ExTab, jnp.bfloat16)[jx]
+            rows = jnp.einsum("nri,ncij->ncrj", Ey, win_c,
+                              preferred_element_type=jnp.bfloat16)
+            X = jnp.einsum("ncrj,nju->ncru", rows, Ex,
+                           preferred_element_type=jnp.bfloat16)
+            img = scene_kernel.scene_reference(
+                X, jy * qp + jx, theme, tb, SA["kinds"], SA["themes"],
+                scene_groups, C.OBS)
 
     obs = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
     return obs  # planar u8 [N, 3, OBS, OBS]; layout applied by the Environment

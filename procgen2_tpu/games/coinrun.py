@@ -725,7 +725,7 @@ def _scene_assets(qp):
     P = phases_lib.WIN
     bgpad = np.zeros((NUM_BGS, 3, 64 + 2 * P, 64 + 2 * P), np.uint8)
     bgpad[:, :, P:P + 64, P:P + 64] = bgs.transpose(1, 0, 2, 3)
-    EyTab, ExTab = phases_lib.expansion_tables(PPU, 64, qp)
+    EyTab, ExTab = phases_lib.expansion_tables(PPU, 64, qp, win_size=P)
     TR, _, _ = phases_lib.phase_tables(PPU, 64, qp)
     return dict(bank=bank, kinds=tuple(kinds), themes=tuple(themes),
                 bgpad=bgpad, EyTab=EyTab, ExTab=ExTab,

@@ -789,7 +789,7 @@ def _observe_scene(cfg: Config, states: State):
         win = jnp.concatenate(
             [gwin[:, None].astype(jnp.bfloat16),
              bgwin.astype(jnp.bfloat16)], 1)
-        EyTab, ExTab = phases_lib.expansion_tables(PPU, 64, qp)
+        EyTab, ExTab = phases_lib.expansion_tables(PPU, 64, qp, win_size=W)
         Ey = jnp.asarray(EyTab, jnp.bfloat16)[jy]
         Ex = jnp.asarray(ExTab, jnp.bfloat16)[jx]
         rows = jnp.einsum("nri,ncij->ncrj", Ey, win,

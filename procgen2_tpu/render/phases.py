@@ -94,12 +94,16 @@ def win(ppu: float, obs: int = 64, qp: int = 4) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def expansion_tables(ppu: float, obs: int = 64, qp: int = 4):
-    """0/1 phase expansion matrices: (EyTab f32 [qp, obs, WIN],
-    ExTab f32 [qp, WIN, obs]). X = Ey[jy] @ win @ Ex[jx] lifts a
-    WIN x WIN tile-resolution window to pixel resolution."""
+def expansion_tables(ppu: float, obs: int = 64, qp: int = 4,
+                     win_size: int | None = None):
+    """0/1 phase expansion matrices: (EyTab f32 [qp, obs, W],
+    ExTab f32 [qp, W, obs]) for a W x W tile-resolution window
+    (default: this camera's own span from `win()`).
+    X = Ey[jy] @ window @ Ex[jx] lifts the window to pixel
+    resolution."""
     TR, _, _ = phase_tables(ppu, obs, qp)
-    W = max(WIN, int(TR.max()) + 1)
+    W = win_size if win_size is not None else int(TR.max()) + 1
+    assert TR.max() < W, (ppu, obs, qp, W)
     eye = np.eye(W, dtype=np.float32)
     EyTab = eye[TR]  # [qp, obs, W]
     ExTab = np.swapaxes(EyTab, 1, 2).copy()  # [qp, W, obs]
