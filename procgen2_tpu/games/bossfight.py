@@ -809,6 +809,34 @@ def _stamp_banks():
     shield_bank = A.build_pixel_bank(
         (("shield", 2.234 * PPU, 1.86 * PPU),), patch=40
     )
+    # Shield-over-boss pre-composition: the shield is always drawn
+    # centered on the boss at alpha 0.7 right after the ship
+    # (bossfight render order), so the two stamps collapse to ONE
+    # P=40 variant per ship color — alpha compositing is associative,
+    # so (shield over boss) over frame == shield over (boss over
+    # frame) exactly (up to the bank's u8 rounding). Halves the
+    # largest per-env stamp work and drops a kernel frame round trip.
+    boss40 = A.build_pixel_bank(
+        tuple(
+            (f"boss_ship_{k}", 1.66 * PPU, 1.25 * PPU)
+            for k in A.BOSS_SHIP_COLORS
+        ),
+        patch=40,
+    ).astype(np.float32)
+    sh = shield_bank[0].astype(np.float32)  # [4, 40, 40]
+    a_s = sh[3:4] / 255.0 * 0.7
+    a_b = boss40[:, 3:4] / 255.0
+    out_a = a_s + a_b * (1.0 - a_s)
+    out_rgb = np.where(
+        out_a > 0,
+        (sh[None, :3] * a_s + boss40[:, :3] * a_b * (1.0 - a_s))
+        / np.maximum(out_a, 1e-6),
+        0.0,
+    )
+    shielded40 = np.concatenate([out_rgb, out_a * 255.0], axis=1)
+    bosshield_bank = np.clip(
+        np.round(np.concatenate([boss40, shielded40], axis=0)), 0, 255
+    ).astype(np.uint8)  # [8, 4, 40, 40]: 4 plain + 4 shielded
     dmg_bank = A.build_pixel_bank(
         tuple((f"explosion{i}", 1.125 * PPU, 1.125 * PPU) for i in range(5)),
         patch=20,
@@ -825,7 +853,8 @@ def _stamp_banks():
     barbb_bank = np.concatenate([bar_bank, bb_bank], axis=0)
     abship_bank = np.concatenate([ab_bank, ship_bank], axis=0)
     return dict(bb=bb_bank, ab=ab_bank, bar=bar_bank, barbb=barbb_bank,
-                boss=boss_bank, shield=shield_bank, dmg=dmg_bank,
+                boss=boss_bank, shield=shield_bank,
+                bosshield=bosshield_bank, dmg=dmg_bank,
                 ship=ship_bank, abship=abship_bank)
 
 
@@ -924,13 +953,13 @@ def observe_batch(cfg: Config, states: State):
         alives=jnp.concatenate([level.barrier_exists, bb_alive], axis=1),
     )
 
-    # boss ship + shield
-    img = blend(img, "boss", level.boss_tex.astype(jnp.int32)[:, None],
+    # boss ship (+ pre-composed shield variant during shielded phases:
+    # one stamp + one kernel pass instead of two, exact — see
+    # _stamp_banks)
+    bvar = (level.boss_tex.astype(jnp.int32)
+            + jnp.where(states.phase_index % 2 == 0, 4, 0))[:, None]
+    img = blend(img, "bosshield", bvar,
                 states.boss_pos[:, None, 0], states.boss_pos[:, None, 1])
-    img = blend(img, "shield", jnp.zeros((N, 1), jnp.int32),
-                states.boss_pos[:, None, 0], states.boss_pos[:, None, 1],
-                alives=(states.phase_index % 2 == 0)[:, None],
-                alpha=jnp.full((N, 1), 0.7, jnp.float32))
 
     # boss damage explosions (draw offset -0.56 vs 1.125/2: ~0.002u)
     ewin = jax.vmap(_window, in_axes=(0, 0, None))(
